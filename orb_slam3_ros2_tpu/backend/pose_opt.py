@@ -1,0 +1,115 @@
+"""Pose-only optimization — the tracking hot path (E4).
+
+Replaces the reference's `Optimizer::PoseOptimization` (g2o LM over one
+SE3 vertex with Huber-robust mono edges, 4 rounds × 10 iterations with
+chi²-based outlier re-classification between rounds [upstream; invoked per
+frame by `TrackMonocular`, `/root/reference/src/imu_mono_realsense.cpp:337`]).
+
+TPU-native: all N observations are processed dense+masked; one LM step is a
+handful of (N,2,6) einsum contractions into a 6×6 system — entirely fusible
+by XLA, no per-edge graph. The round structure (re-classify outliers, keep
+optimizing) is a `lax.scan` over a static iteration count with the outlier
+set carried as a float weight vector.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_ros2_tpu.backend import residuals as res
+from orb_slam3_ros2_tpu.geom import lie
+
+HUBER_MONO = jnp.sqrt(res.CHI2_MONO)  # δ ≈ 2.447, reference's mono Huber
+
+
+class PoseOptResult(NamedTuple):
+    R: jnp.ndarray  # (3, 3) optimized T_cw rotation
+    t: jnp.ndarray  # (3,)
+    inliers: jnp.ndarray  # (N,) bool — survived chi² gating
+    n_inliers: jnp.ndarray  # () int32
+    cost: jnp.ndarray  # () final robust cost
+
+
+def _normal_equations(R, t, X, uv, w, fx, fy, cx, cy):
+    proj = res.reproj_residual(R, t, X, uv, fx, fy, cx, cy)
+    r2 = jnp.sum(proj.r * proj.r, axis=-1) * w  # (N,) weighted squared err
+    hw = res.huber_weight(r2, float(HUBER_MONO))
+    ww = w * hw * (proj.depth > 0.05)  # cheirality: behind-camera drops out
+    J = proj.J_pose  # (N, 2, 6)
+    H = jnp.einsum("nai,n,naj->ij", J, ww, J)
+    b = jnp.einsum("nai,n,na->i", J, ww, proj.r)
+    cost = jnp.sum(jnp.minimum(r2, 2.0 * float(HUBER_MONO) * jnp.sqrt(
+        jnp.maximum(r2, 1e-12)) - float(HUBER_MONO) ** 2) * (w > 0))
+    return H, b, cost, r2, proj.depth
+
+
+def optimize_pose(
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    X: jnp.ndarray,  # (N, 3) world points
+    uv: jnp.ndarray,  # (N, 2) undistorted pixel observations
+    inv_sigma2: jnp.ndarray,  # (N,) per-obs information (pyramid level based)
+    mask: jnp.ndarray,  # (N,) bool valid observation
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    n_rounds: int = 4,
+    iters_per_round: int = 10,
+    chi2_th: float = res.CHI2_MONO,
+) -> PoseOptResult:
+    """Robust LM pose refinement with per-round outlier re-classification.
+
+    Outliers are *re-admitted* if they fall back under the threshold in a
+    later round — same semantics as the reference optimizer's per-round
+    setLevel/chi² logic [upstream].
+    """
+    lam0 = jnp.asarray(1e-3, jnp.float32)
+    w_base = inv_sigma2 * mask.astype(jnp.float32)
+
+    def lm_iter(carry, _):
+        R, t, lam, w_active = carry
+        H, b, cost, _, _ = _normal_equations(R, t, X, uv, w_active, fx, fy, cx, cy)
+        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
+        dx = -jnp.linalg.solve(Hd, b)
+        R_new, t_new = lie.se3_retract(R, t, dx)
+        R_new = lie.se3_normalize(R_new)
+        _, _, cost_new, _, _ = _normal_equations(
+            R_new, t_new, X, uv, w_active, fx, fy, cx, cy
+        )
+        better = cost_new < cost
+        R = jnp.where(better, R_new, R)
+        t = jnp.where(better, t_new, t)
+        lam = jnp.where(better, lam * 0.5, lam * 4.0).clip(1e-7, 1e2)
+        return (R, t, lam, w_active), cost_new
+
+    def round_body(carry, rnd):
+        R, t, lam, _ = carry
+        # re-classify by chi² — but never before the first optimization round
+        # (the reference also optimizes on all matches first, then gates)
+        proj = res.reproj_residual(R, t, X, uv, fx, fy, cx, cy)
+        chi2 = jnp.sum(proj.r * proj.r, axis=-1) * inv_sigma2
+        inlier = (chi2 <= chi2_th) & (proj.depth > 0.05) & mask
+        w_active = jnp.where(rnd == 0, w_base, w_base * inlier)
+        (R, t, lam, w_active), _ = jax.lax.scan(
+            lm_iter, (R, t, lam, w_active), None, length=iters_per_round
+        )
+        return (R, t, lam, w_active), None
+
+    (R, t, lam, _), _ = jax.lax.scan(
+        round_body, (R0, t0, lam0, w_base), jnp.arange(n_rounds)
+    )
+
+    proj = res.reproj_residual(R, t, X, uv, fx, fy, cx, cy)
+    chi2 = jnp.sum(proj.r * proj.r, axis=-1) * inv_sigma2
+    inliers = (chi2 <= chi2_th) & (proj.depth > 0.05) & mask
+    _, _, cost, _, _ = _normal_equations(
+        R, t, X, uv, w_base * inliers, fx, fy, cx, cy
+    )
+    return PoseOptResult(
+        R=R, t=t, inliers=inliers,
+        n_inliers=jnp.sum(inliers).astype(jnp.int32), cost=cost,
+    )

@@ -1,0 +1,186 @@
+"""ORB feature extraction pipeline (E1): pyramid → FAST → grid top-k →
+orientation → steered BRIEF, all fixed-shape and jit-compiled per config.
+
+Reference parameter surface (`ORBextractor.*` keys in all 24 settings YAMLs,
+e.g. `/root/reference/config/Monocular-Inertial/EuRoC.yaml:56-69`):
+nFeatures, scaleFactor, nLevels, iniThFAST, minThFAST.
+
+TPU-native redesign of the reference's quadtree keypoint distribution
+(`DistributeOctTree` [upstream]): each level is divided into fixed
+CELL×CELL-pixel cells; per cell the best NMS-surviving corner is selected
+with a ranking bonus for clearing the *high* threshold (this reproduces the
+iniThFAST→minThFAST fallback without control flow); then a global
+`lax.top_k` per level takes the level's feature budget. Output arrays have
+static shape (n_features_total, …) with a validity mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_ros2_tpu.ops import fast as fast_ops
+from orb_slam3_ros2_tpu.ops import orb_descriptor as desc_ops
+from orb_slam3_ros2_tpu.ops import pyramid as pyr_ops
+
+CELL = 32  # spatial-uniformity cell size in pixels
+EDGE = 19  # extraction margin: patch radius 15 + blur/fast slack
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractorConfig:
+    n_features: int = 1000
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    ini_th_fast: float = 20.0
+    min_th_fast: float = 7.0
+    height: int = 480
+    width: int = 752
+
+
+@dataclasses.dataclass
+class Features:
+    """Fixed-capacity feature set for one frame. All arrays length N.
+
+    uv: (N, 2) float32 pixel coords at level-0 scale (x, y).
+    level: (N,) int32 pyramid level.
+    angle: (N,) float32 radians.
+    score: (N,) float32 FAST score.
+    signs: (N, 256) float32 ±1 descriptor (compute form).
+    bits: (N, 8) uint32 packed descriptor (storage form).
+    mask: (N,) bool validity.
+    """
+
+    uv: jnp.ndarray
+    level: jnp.ndarray
+    angle: jnp.ndarray
+    score: jnp.ndarray
+    signs: jnp.ndarray
+    bits: jnp.ndarray
+    mask: jnp.ndarray
+
+
+jax.tree_util.register_pytree_node(
+    Features,
+    lambda f: ((f.uv, f.level, f.angle, f.score, f.signs, f.bits, f.mask), None),
+    lambda _, c: Features(*c),
+)
+
+
+def _level_grid_select(score: jnp.ndarray, keep: jnp.ndarray, ini_th: float,
+                       min_th: float, budget: int) -> Tuple[jnp.ndarray, ...]:
+    """Select up to `budget` keypoints on one level.
+
+    Returns (yx (budget, 2) int32, score (budget,), valid (budget,)).
+    """
+    h, w = score.shape
+    # candidates: NMS survivors above the *low* threshold
+    cand = keep & (score > min_th)
+    # ranking score: low-threshold corners rank below every high-threshold one
+    BONUS = 1e4
+    rank = jnp.where(cand, score + jnp.where(score > ini_th, BONUS, 0.0), -1.0)
+
+    # mask extraction margin so patches stay in-bounds
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    interior = (ys >= EDGE) & (ys < h - EDGE) & (xs >= EDGE) & (xs < w - EDGE)
+    rank = jnp.where(interior, rank, -1.0)
+
+    # per-cell best: pad to cell multiple, reshape, argmax per cell
+    ph = -(-h // CELL) * CELL
+    pw = -(-w // CELL) * CELL
+    rp = jnp.pad(rank, ((0, ph - h), (0, pw - w)), constant_values=-1.0)
+    cells = rp.reshape(ph // CELL, CELL, pw // CELL, CELL).transpose(0, 2, 1, 3)
+    cells = cells.reshape(-1, CELL * CELL)  # (n_cells, CELL*CELL)
+    best_in_cell = jnp.argmax(cells, axis=-1)
+    best_rank = jnp.take_along_axis(cells, best_in_cell[:, None], axis=-1)[:, 0]
+
+    n_cells_y = ph // CELL
+    n_cells_x = pw // CELL
+    cell_ids = jnp.arange(n_cells_y * n_cells_x)
+    cy = cell_ids // n_cells_x
+    cx = cell_ids % n_cells_x
+    py = cy * CELL + best_in_cell // CELL
+    px = cx * CELL + best_in_cell % CELL
+
+    k = min(budget, best_rank.shape[0])
+    top_rank, top_idx = jax.lax.top_k(best_rank, k)
+    yx = jnp.stack([py[top_idx], px[top_idx]], axis=-1).astype(jnp.int32)
+    valid = top_rank > 0.0
+    raw_score = jnp.where(top_rank > BONUS / 2, top_rank - BONUS, top_rank)
+    # pad to exactly `budget`
+    if k < budget:
+        pad = budget - k
+        yx = jnp.pad(yx, ((0, pad), (0, 0)))
+        raw_score = jnp.pad(raw_score, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return yx, raw_score, valid
+
+
+@functools.lru_cache(maxsize=8)
+def make_extractor(cfg: ExtractorConfig):
+    """Build the jitted extraction function for a static config.
+
+    Returns extract(img: (H, W) float32) -> Features with
+    N = sum of per-level budgets (== cfg.n_features padded by rounding).
+    """
+    budgets = pyr_ops.features_per_level(cfg.n_features, cfg.n_levels,
+                                         cfg.scale_factor)
+    scales = pyr_ops.scale_factors(cfg.n_levels, cfg.scale_factor)
+
+    def extract(img: jnp.ndarray) -> Features:
+        levels = pyr_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+        uv_all, lvl_all, ang_all, sc_all, signs_all, bits_all, mask_all = (
+            [], [], [], [], [], [], []
+        )
+        for lvl, (im_l, budget) in enumerate(zip(levels, budgets)):
+            if budget <= 0:
+                continue
+            score = fast_ops.fast_score(im_l)
+            keep = fast_ops.nms3x3(score)
+            yx, sc, valid = _level_grid_select(
+                score, keep, cfg.ini_th_fast, cfg.min_th_fast, budget
+            )
+            # clamp coords (invalid entries may sit at the border)
+            h, w = im_l.shape
+            yx = jnp.clip(yx, EDGE, jnp.asarray([h - EDGE - 1, w - EDGE - 1]))
+            blurred = pyr_ops.gaussian_blur(im_l)
+            patches_ori = desc_ops.gather_patches(im_l, yx)
+            ang = desc_ops.orientations(patches_ori)
+            patches_desc = desc_ops.gather_patches(blurred, yx)
+            signs, bits = desc_ops.describe(patches_desc, ang)
+
+            s = scales[lvl]
+            uv = jnp.stack(
+                [yx[:, 1].astype(jnp.float32) * s, yx[:, 0].astype(jnp.float32) * s],
+                axis=-1,
+            )
+            uv_all.append(uv)
+            lvl_all.append(jnp.full((budget,), lvl, dtype=jnp.int32))
+            ang_all.append(ang)
+            sc_all.append(sc)
+            signs_all.append(signs)
+            bits_all.append(bits)
+            mask_all.append(valid)
+
+        return Features(
+            uv=jnp.concatenate(uv_all, axis=0),
+            level=jnp.concatenate(lvl_all, axis=0),
+            angle=jnp.concatenate(ang_all, axis=0),
+            score=jnp.concatenate(sc_all, axis=0),
+            signs=jnp.concatenate(signs_all, axis=0),
+            bits=jnp.concatenate(bits_all, axis=0),
+            mask=jnp.concatenate(mask_all, axis=0),
+        )
+
+    return jax.jit(extract)
+
+
+def total_capacity(cfg: ExtractorConfig) -> int:
+    return sum(pyr_ops.features_per_level(cfg.n_features, cfg.n_levels,
+                                          cfg.scale_factor))

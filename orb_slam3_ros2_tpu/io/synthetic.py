@@ -1,0 +1,285 @@
+"""Synthetic scene / trajectory / IMU generator for tests and benchmarks.
+
+The container has no EuRoC/TUM-VI data (zero egress), so dataset-replay
+validation (SURVEY.md §4) is grounded in a simulator with exact groundtruth:
+
+* `make_scene` — random 3-D landmarks + smooth SE(3) trajectory + projected
+  observations with noise/outliers (drives pose-opt/BA/tracking tests).
+* `render_sequence` — images of textured planes rendered by homography warp
+  (drives the full image→ATE pipeline; corners on the planes are stable
+  world points, so ORB tracking has real structure to lock onto).
+* `make_imu` — gyro/accel samples along the continuous trajectory with
+  configurable noise/bias, EuRoC conventions (200 Hz, gravity 9.81 on +z
+  world; cf. `/root/reference/config/Monocular-Inertial/EuRoC.yaml:35-49` and
+  the gyro-rate interpolation convention in
+  `/root/reference/config/Calibration/python_scripts/process_imu.py:88-109`).
+
+Everything is numpy on host — this is test/bench scaffolding, not the engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+GRAVITY = np.array([0.0, 0.0, -9.81])
+
+
+def _so3_exp_np(phi: np.ndarray) -> np.ndarray:
+    theta = np.linalg.norm(phi, axis=-1, keepdims=True)
+    theta = np.maximum(theta, 1e-12)
+    axis = phi / theta
+    K = np.zeros(phi.shape[:-1] + (3, 3))
+    K[..., 0, 1], K[..., 0, 2] = -axis[..., 2], axis[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = axis[..., 2], -axis[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -axis[..., 1], axis[..., 0]
+    th = theta[..., None]
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+@dataclasses.dataclass
+class Trajectory:
+    """Smooth analytic camera/body trajectory. T_wb(t): body-to-world."""
+
+    amp_t: np.ndarray  # (3,) translation amplitudes
+    freq_t: np.ndarray  # (3,)
+    amp_r: np.ndarray  # (3,) rotation-vector amplitudes
+    freq_r: np.ndarray  # (3,)
+    lookat_depth: float = 6.0
+
+    def position(self, t: np.ndarray) -> np.ndarray:
+        t = np.asarray(t)[..., None]
+        return self.amp_t * np.sin(2 * np.pi * self.freq_t * t)
+
+    def rotation(self, t: np.ndarray) -> np.ndarray:
+        t = np.asarray(t)[..., None]
+        phi = self.amp_r * np.sin(2 * np.pi * self.freq_r * t + 0.7)
+        return _so3_exp_np(phi)
+
+    def pose_wb(self, t):
+        return self.rotation(t), self.position(t)
+
+
+def default_trajectory(seed: int = 0, scale: float = 1.0) -> Trajectory:
+    rng = np.random.default_rng(seed)
+    return Trajectory(
+        amp_t=rng.uniform(0.3, 0.9, 3) * scale,
+        freq_t=rng.uniform(0.05, 0.15, 3),
+        amp_r=rng.uniform(0.05, 0.15, 3),
+        freq_r=rng.uniform(0.05, 0.2, 3),
+    )
+
+
+@dataclasses.dataclass
+class Scene:
+    X: np.ndarray  # (L, 3) world landmarks
+    R_cw: np.ndarray  # (K, 3, 3) camera-from-world rotations (groundtruth)
+    t_cw: np.ndarray  # (K, 3)
+    uv: np.ndarray  # (K, L, 2) pixel observations (noisy)
+    vis: np.ndarray  # (K, L) bool visibility
+    timestamps: np.ndarray  # (K,)
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    width: int = 752
+    height: int = 480
+
+
+def make_scene(
+    n_frames: int = 12,
+    n_points: int = 300,
+    noise_px: float = 0.5,
+    outlier_frac: float = 0.0,
+    seed: int = 0,
+    fps: float = 20.0,
+    fx: float = 458.0,
+    fy: float = 457.0,
+    cx: float = 367.0,
+    cy: float = 248.0,
+    width: int = 752,
+    height: int = 480,
+) -> Scene:
+    """Random landmarks in a box in front of the trajectory; full projections."""
+    rng = np.random.default_rng(seed)
+    traj = default_trajectory(seed=seed + 1)
+    ts = np.arange(n_frames) / fps
+
+    X = np.stack(
+        [
+            rng.uniform(-4.0, 4.0, n_points),
+            rng.uniform(-3.0, 3.0, n_points),
+            rng.uniform(4.0, 10.0, n_points),
+        ],
+        axis=-1,
+    )
+
+    R_wb, p_wb = traj.pose_wb(ts)  # body == camera here
+    R_cw = np.swapaxes(R_wb, -1, -2)
+    t_cw = -np.einsum("kij,kj->ki", R_cw, p_wb)
+
+    x_c = np.einsum("kij,lj->kli", R_cw, X) + t_cw[:, None]
+    z = x_c[..., 2]
+    uv = np.stack(
+        [fx * x_c[..., 0] / z + cx, fy * x_c[..., 1] / z + cy], axis=-1
+    )
+    vis = (
+        (z > 0.2)
+        & (uv[..., 0] >= 0)
+        & (uv[..., 0] < width)
+        & (uv[..., 1] >= 0)
+        & (uv[..., 1] < height)
+    )
+    uv = uv + rng.normal(0, noise_px, uv.shape)
+    if outlier_frac > 0:
+        out = rng.random(vis.shape) < outlier_frac
+        uv = np.where(
+            out[..., None],
+            rng.uniform(0, [width, height], uv.shape),
+            uv,
+        )
+    return Scene(
+        X=X, R_cw=R_cw, t_cw=t_cw, uv=uv.astype(np.float32), vis=vis,
+        timestamps=ts, fx=fx, fy=fy, cx=cx, cy=cy, width=width, height=height,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image rendering: textured planes via homography warp (needs cv2)
+# ---------------------------------------------------------------------------
+
+
+def _texture(h: int, w: int, seed: int, n_boxes: int = 120) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w), 30.0, np.float32)
+    for _ in range(n_boxes):
+        y, x = rng.integers(0, h - 20), rng.integers(0, w - 20)
+        bh, bw = rng.integers(6, 24, size=2)
+        img[y : y + bh, x : x + bw] = rng.uniform(40, 255)
+    return np.clip(img, 0, 255)
+
+
+def render_sequence(
+    n_frames: int = 30,
+    width: int = 640,
+    height: int = 480,
+    fx: float = 450.0,
+    fy: float = 450.0,
+    fps: float = 20.0,
+    seed: int = 0,
+    plane_depths=(6.0, 9.0),
+    traj_scale: float = 1.0,
+):
+    """Render a camera flying in front of fronto-parallel textured planes.
+
+    Returns (images (K, H, W) float32, R_cw (K,3,3), t_cw (K,3), timestamps).
+    Plane i occupies world z = plane_depths[i], x∈[-6,6], y∈[-4.5,4.5]; the
+    nearer planes are composited over the farther by painting far-to-near.
+    """
+    import cv2
+
+    cx, cy = width / 2.0, height / 2.0
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+    traj = default_trajectory(seed=seed + 3, scale=traj_scale)
+    ts = np.arange(n_frames) / fps
+    R_wb, p_wb = traj.pose_wb(ts)
+    R_cw = np.swapaxes(R_wb, -1, -2)
+    t_cw = -np.einsum("kij,kj->ki", R_cw, p_wb)
+
+    tex_h, tex_w = 720, 960
+    half_x, half_y = 6.0, 4.5
+    planes = []
+    for i, depth in enumerate(plane_depths):
+        planes.append((_texture(tex_h, tex_w, seed + 10 + i), depth))
+
+    images = np.zeros((n_frames, height, width), np.float32)
+    # texture pixel -> world: x = -half_x + u/tex_w * 2*half_x, etc.
+    for k in range(n_frames):
+        frame = np.zeros((height, width), np.float32)
+        for tex, depth in sorted(planes, key=lambda p: -p[1]):  # far first
+            sx = 2 * half_x / tex_w
+            sy = 2 * half_y / tex_h
+            # world point of texture pixel (u, v): (u*sx - half_x, v*sy - half_y, depth)
+            A = np.array([[sx, 0, -half_x], [0, sy, -half_y], [0, 0, depth]])
+            P = np.concatenate([R_cw[k], t_cw[k][:, None]], axis=1)  # (3,4)
+            M = K @ (P[:, :3] @ A + np.outer(P[:, 3], [0, 0, 1]))
+            warped = cv2.warpPerspective(
+                tex, M.astype(np.float64), (width, height),
+                flags=cv2.INTER_LINEAR, borderValue=-1.0,
+            )
+            frame = np.where(warped >= 0, warped, frame)
+        images[k] = frame
+    return images, R_cw.astype(np.float32), t_cw.astype(np.float32), ts
+
+
+# ---------------------------------------------------------------------------
+# IMU synthesis
+# ---------------------------------------------------------------------------
+
+
+def make_imu(
+    traj: Trajectory,
+    t0: float,
+    t1: float,
+    rate: float = 200.0,
+    gyro_noise: float = 0.0,
+    acc_noise: float = 0.0,
+    gyro_bias: Optional[np.ndarray] = None,
+    acc_bias: Optional[np.ndarray] = None,
+    seed: int = 0,
+):
+    """Sample gyro/accel along the trajectory (central finite differences).
+
+    Returns (t (M,), gyro (M, 3), acc (M, 3)) in body frame; accelerometer
+    measures specific force f_b = R_bw (a_w - g_w), g_w = (0,0,-9.81).
+    """
+    rng = np.random.default_rng(seed)
+    dt = 1.0 / rate
+    t = np.arange(t0, t1, dt)
+    h = 1e-4
+
+    Rm = traj.rotation(t - h)
+    Rp = traj.rotation(t + h)
+    R = traj.rotation(t)
+    # gyro: log(R(t)^T R(t+h)) / h ≈ vee(R^T (Rp - Rm) / 2h)
+    dR = np.einsum("kji,kjl->kil", R, (Rp - Rm) / (2 * h))
+    gyro = np.stack([dR[:, 2, 1], dR[:, 0, 2], dR[:, 1, 0]], axis=-1)
+
+    pm = traj.position(t - h)
+    pp = traj.position(t + h)
+    p = traj.position(t)
+    a_w = (pp - 2 * p + pm) / (h * h)
+    acc = np.einsum("kji,kj->ki", R, a_w - GRAVITY)
+
+    if gyro_bias is not None:
+        gyro = gyro + gyro_bias
+    if acc_bias is not None:
+        acc = acc + acc_bias
+    gyro = gyro + rng.normal(0, gyro_noise, gyro.shape)
+    acc = acc + rng.normal(0, acc_noise, acc.shape)
+    return t, gyro.astype(np.float64), acc.astype(np.float64)
+
+
+def ate_rmse(t_est: np.ndarray, t_gt: np.ndarray, align: bool = True) -> float:
+    """Absolute trajectory error RMSE after (optional) Sim3 Umeyama alignment.
+
+    Standard EuRoC evaluation protocol (the reference's accuracy bar is the
+    ORB-SLAM3 paper's ATE table; BASELINE.md)."""
+    est = np.asarray(t_est, np.float64)
+    gt = np.asarray(t_gt, np.float64)
+    if align:
+        mu_e, mu_g = est.mean(0), gt.mean(0)
+        e, g = est - mu_e, gt - mu_g
+        U, D, Vt = np.linalg.svd(g.T @ e / len(e))
+        S = np.eye(3)
+        if np.linalg.det(U @ Vt) < 0:
+            S[2, 2] = -1
+        R = U @ S @ Vt
+        var_e = (e * e).sum() / len(e)
+        s = np.trace(np.diag(D) @ S) / max(var_e, 1e-12)
+        est = s * (R @ e.T).T + mu_g
+        gt = g + mu_g
+    err = est - gt
+    return float(np.sqrt((err * err).sum(-1).mean()))
