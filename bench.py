@@ -1,0 +1,95 @@
+"""Benchmark: tracking frames/s/chip on the real TPU (+ BA iterations/s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context (BASELINE.md): the reference publishes no numbers; its live
+ingest requirement is 640×480 @ 30 FPS (D435i,
+`/root/reference/launch/mapping.launch.py:85`) with the engine expected to
+track in real time on a desktop CPU. vs_baseline therefore reports our
+tracking throughput relative to that 30 FPS real-time bar.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    # persistent compile cache so repeated bench runs skip the ~30 s compiles
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("/tmp/jax_cache_bench"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from orb_slam3_ros2_tpu.atlas import map_state as ms
+    from orb_slam3_ros2_tpu.frontend import extractor as ex
+    from orb_slam3_ros2_tpu.frontend import tracking as trk
+
+    # EuRoC-like mono config: 752x480, 1000 features, 8 levels
+    H, W = 480, 752
+    fx, fy, cx, cy = 458.654, 457.296, 367.215, 248.375
+    cfg = ex.ExtractorConfig(n_features=1000, n_levels=8, height=H, width=W)
+    extract = ex.make_extractor(cfg)
+    n_feat = ex.total_capacity(cfg)
+    mcfg = ms.MapConfig(max_kf=64, max_lm=8192, n_feat=n_feat)
+
+    rng = np.random.default_rng(0)
+    m = ms.empty_map(mcfg)
+    L = 4096
+    X = np.stack(
+        [rng.uniform(-4, 4, L), rng.uniform(-3, 3, L), rng.uniform(4, 10, L)],
+        axis=-1,
+    ).astype(np.float32)
+    m = m._replace(
+        lm_X=m.lm_X.at[:L].set(jnp.asarray(X)),
+        lm_valid=m.lm_valid.at[:L].set(True),
+        lm_bits=m.lm_bits.at[:L].set(
+            jnp.asarray(rng.integers(0, 2**32, (L, 8), dtype=np.uint32))
+        ),
+    )
+
+    import jax as _jax
+
+    @_jax.jit
+    def frame_step(img, m):
+        feats = extract(img)
+        tm = trk.match_to_map(
+            m, feats.uv, feats.signs, feats.mask, jnp.eye(3), jnp.zeros(3),
+            fx, fy, cx, cy, W, H,
+        )
+        res, _ = trk.track_pose(
+            m, tm.obs_lm, feats.uv, feats.level, jnp.eye(3), jnp.zeros(3),
+            fx, fy, cx, cy,
+        )
+        return res.R, res.t, res.n_inliers
+
+    imgs = [
+        jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+        for _ in range(4)
+    ]
+    # warmup/compile
+    out = frame_step(imgs[0], m)
+    _jax.block_until_ready(out)
+
+    n_iters = 60
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = frame_step(imgs[i % 4], m)
+    _jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(json.dumps({
+        "metric": "tracking_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s (752x480, 1000 ORB feats, 8 levels, full map match + pose LM)",
+        "vs_baseline": round(fps / 30.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Fixed-capacity map state (keyframes + landmarks + associations).
+
+TPU-native replacement for the reference engine's pointer-graph `Map` /
+`KeyFrame` / `MapPoint` objects (Atlas member maps; save/load surface
+`System.SaveAtlasToFile` `/root/reference/config/Monocular/MilkV.yaml:74-75`).
+The whole map is a pytree of fixed-capacity arrays with validity masks:
+
+* keyframes: poses T_cw + per-feature arrays (uv, level, packed descriptors)
+* landmarks: positions + representative descriptor + view stats
+* associations: per-keyframe per-feature landmark id (-1 = none) — the
+  TPU-friendly encoding of the observation graph (inverts to a dense
+  (K, L) observation table by one scatter, which is exactly the layout
+  bundle adjustment consumes)
+
+Capacities are static per config — one compile per capacity class. Counters
+(n_kf, n_lm) live in the state as scalars; slot allocation is pure
+arithmetic so every mutation stays inside jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    max_kf: int = 64  # keyframe capacity
+    max_lm: int = 4096  # landmark capacity
+    n_feat: int = 1024  # per-keyframe feature capacity (extractor output size)
+
+
+class MapState(NamedTuple):
+    # keyframes
+    kf_R: jnp.ndarray  # (K, 3, 3) T_cw
+    kf_t: jnp.ndarray  # (K, 3)
+    kf_valid: jnp.ndarray  # (K,) bool
+    kf_time: jnp.ndarray  # (K,) float64-ish seconds (float32 ok for tests)
+    # per-keyframe features
+    kf_uv: jnp.ndarray  # (K, N, 2) undistorted pixels
+    kf_level: jnp.ndarray  # (K, N) int32
+    kf_bits: jnp.ndarray  # (K, N, 8) uint32 packed descriptors
+    kf_feat_valid: jnp.ndarray  # (K, N) bool
+    kf_obs_lm: jnp.ndarray  # (K, N) int32 landmark id or -1
+    # landmarks
+    lm_X: jnp.ndarray  # (L, 3) world positions
+    lm_valid: jnp.ndarray  # (L,) bool
+    lm_bits: jnp.ndarray  # (L, 8) uint32 representative descriptor
+    lm_ref_kf: jnp.ndarray  # (L,) int32 creating keyframe
+    lm_n_obs: jnp.ndarray  # (L,) int32 observation count
+    lm_found: jnp.ndarray  # (L,) int32 times matched in tracking
+    lm_visible: jnp.ndarray  # (L,) int32 times predicted visible
+    # counters
+    n_kf: jnp.ndarray  # () int32
+    n_lm: jnp.ndarray  # () int32
+
+
+def empty_map(cfg: MapConfig) -> MapState:
+    K, L, N = cfg.max_kf, cfg.max_lm, cfg.n_feat
+    return MapState(
+        kf_R=jnp.tile(jnp.eye(3)[None], (K, 1, 1)),
+        kf_t=jnp.zeros((K, 3)),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_time=jnp.zeros((K,)),
+        kf_uv=jnp.zeros((K, N, 2)),
+        kf_level=jnp.zeros((K, N), jnp.int32),
+        kf_bits=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_feat_valid=jnp.zeros((K, N), bool),
+        kf_obs_lm=jnp.full((K, N), -1, jnp.int32),
+        lm_X=jnp.zeros((L, 3)),
+        lm_valid=jnp.zeros((L,), bool),
+        lm_bits=jnp.zeros((L, 8), jnp.uint32),
+        lm_ref_kf=jnp.zeros((L,), jnp.int32),
+        lm_n_obs=jnp.zeros((L,), jnp.int32),
+        lm_found=jnp.ones((L,), jnp.int32),
+        lm_visible=jnp.ones((L,), jnp.int32),
+        n_kf=jnp.zeros((), jnp.int32),
+        n_lm=jnp.zeros((), jnp.int32),
+    )
+
+
+def insert_keyframe(
+    m: MapState,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    time: jnp.ndarray,
+    uv: jnp.ndarray,
+    level: jnp.ndarray,
+    bits: jnp.ndarray,
+    feat_valid: jnp.ndarray,
+    obs_lm: jnp.ndarray,
+) -> MapState:
+    """Append a keyframe at slot n_kf (no-op if capacity is full).
+
+    obs_lm: (N,) landmark id matched to each feature (-1 = none); landmark
+    observation counters are incremented for the ids present.
+    """
+    k = m.n_kf
+    ok = k < m.kf_valid.shape[0]
+    k_safe = jnp.minimum(k, m.kf_valid.shape[0] - 1)
+
+    obs_inc = jnp.zeros_like(m.lm_n_obs).at[
+        jnp.where(obs_lm >= 0, obs_lm, 0)
+    ].add(jnp.where((obs_lm >= 0) & feat_valid & ok, 1, 0))
+
+    return m._replace(
+        kf_R=m.kf_R.at[k_safe].set(jnp.where(ok, R, m.kf_R[k_safe])),
+        kf_t=m.kf_t.at[k_safe].set(jnp.where(ok, t, m.kf_t[k_safe])),
+        kf_valid=m.kf_valid.at[k_safe].set(m.kf_valid[k_safe] | ok),
+        kf_time=m.kf_time.at[k_safe].set(jnp.where(ok, time, m.kf_time[k_safe])),
+        kf_uv=m.kf_uv.at[k_safe].set(jnp.where(ok, uv, m.kf_uv[k_safe])),
+        kf_level=m.kf_level.at[k_safe].set(
+            jnp.where(ok, level, m.kf_level[k_safe])
+        ),
+        kf_bits=m.kf_bits.at[k_safe].set(
+            jnp.where(ok, bits, m.kf_bits[k_safe])
+        ),
+        kf_feat_valid=m.kf_feat_valid.at[k_safe].set(
+            jnp.where(ok, feat_valid, m.kf_feat_valid[k_safe])
+        ),
+        kf_obs_lm=m.kf_obs_lm.at[k_safe].set(
+            jnp.where(ok, obs_lm, m.kf_obs_lm[k_safe])
+        ),
+        lm_n_obs=m.lm_n_obs + obs_inc,
+        n_kf=m.n_kf + jnp.where(ok, 1, 0),
+    )
+
+
+def add_landmarks(
+    m: MapState,
+    X: jnp.ndarray,  # (C, 3) candidate positions
+    bits: jnp.ndarray,  # (C, 8)
+    accept: jnp.ndarray,  # (C,) bool
+    ref_kf: jnp.ndarray,  # () int32
+    # feature indices in the two observing keyframes, for association
+    kf_a: jnp.ndarray, feat_a: jnp.ndarray,  # () , (C,)
+    kf_b: jnp.ndarray, feat_b: jnp.ndarray,
+) -> MapState:
+    """Append accepted candidates; wire observations in both keyframes."""
+    L = m.lm_valid.shape[0]
+    order = jnp.cumsum(accept.astype(jnp.int32)) - 1  # slot offset per cand
+    slots = m.n_lm + order
+    ok = accept & (slots < L)
+    # rejected candidates share slot numbers with accepted ones (cumsum does
+    # not advance on a reject) — route them out of bounds so the scatter
+    # drops them instead of racing against the accepted write.
+    slots_w = jnp.where(ok, slots, L)
+
+    lm_X = m.lm_X.at[slots_w].set(X, mode="drop")
+    lm_valid = m.lm_valid.at[slots_w].set(True, mode="drop")
+    lm_bits = m.lm_bits.at[slots_w].set(bits, mode="drop")
+    lm_ref = m.lm_ref_kf.at[slots_w].set(ref_kf, mode="drop")
+    lm_n_obs = m.lm_n_obs.at[slots_w].set(2, mode="drop")
+
+    ids = jnp.where(ok, slots, -1).astype(jnp.int32)
+    N = m.kf_obs_lm.shape[1]
+    feat_a_w = jnp.where(ok, feat_a, N)  # drop rejected associations
+    feat_b_w = jnp.where(ok, feat_b, N)
+    obs_a = m.kf_obs_lm.at[kf_a, feat_a_w].set(ids, mode="drop")
+    obs_ab = obs_a.at[kf_b, feat_b_w].set(ids, mode="drop")
+    return m._replace(
+        lm_X=lm_X, lm_valid=lm_valid, lm_bits=lm_bits, lm_ref_kf=lm_ref,
+        lm_n_obs=lm_n_obs, kf_obs_lm=obs_ab,
+        n_lm=m.n_lm + jnp.sum(ok).astype(jnp.int32),
+    )
+
+
+def observation_table(m: MapState, kf_ids: jnp.ndarray):
+    """Build the dense BA observation layout for a set of keyframes.
+
+    kf_ids: (W,) int32 (may repeat a valid id for padding; pad entries get
+    zero weight via kf_sel_valid). Returns (uv (W, L, 2), w (W, L) 0/1,
+    kf_sel_valid (W,)) where L = landmark capacity.
+    """
+    L = m.lm_valid.shape[0]
+    uv_f = m.kf_uv[kf_ids]  # (W, N, 2)
+    obs = m.kf_obs_lm[kf_ids]  # (W, N)
+    fv = m.kf_feat_valid[kf_ids]
+    kf_sel_valid = m.kf_valid[kf_ids]
+
+    has = (obs >= 0) & fv & kf_sel_valid[:, None]
+    obs_safe = jnp.where(has, obs, 0)
+
+    W = kf_ids.shape[0]
+    uv_t = jnp.zeros((W, L, 2))
+    w_t = jnp.zeros((W, L))
+    rows = jnp.broadcast_to(jnp.arange(W)[:, None], obs.shape)
+    uv_t = uv_t.at[rows, obs_safe].set(
+        jnp.where(has[..., None], uv_f, 0.0), mode="drop"
+    )
+    w_t = w_t.at[rows, obs_safe].max(has.astype(jnp.float32), mode="drop")
+    w_t = w_t * m.lm_valid[None, :]
+    return uv_t, w_t, kf_sel_valid

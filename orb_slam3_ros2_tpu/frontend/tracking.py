@@ -1,0 +1,263 @@
+"""Jitted tracking + local-mapping step functions (E4, E6).
+
+These are the pure-function equivalents of the reference engine's Tracking
+and LocalMapping threads [upstream; driven per frame through
+`System::TrackMonocular`, `/root/reference/src/imu_mono_realsense.cpp:337`].
+The host-side orchestrator (runtime/system.py) owns the NOT_INITIALIZED /
+OK / LOST state machine (data-dependent control flow stays out of jit —
+SURVEY.md §7 hard part 3) and calls into:
+
+* `match_to_map` — project every landmark into the predicted pose, gate by
+  search window + descriptor distance (one dense masked matmul), returning
+  per-feature landmark associations.
+* `track_pose` — robust pose-only LM on the associations.
+* `triangulate_between` — two-view DLT for new landmarks between a new
+  keyframe and a covisible one (unmatched features only).
+* `local_ba` — windowed BA over the dense observation table from
+  atlas.map_state.observation_table.
+* `cull_landmarks` — found/visible-ratio + observation-count culling
+  (reference's MapPointCulling policy).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_ros2_tpu.atlas import map_state as ms
+from orb_slam3_ros2_tpu.backend import ba as ba_mod
+from orb_slam3_ros2_tpu.backend import pose_opt
+from orb_slam3_ros2_tpu.geom import lie
+from orb_slam3_ros2_tpu.ops import matcher
+from orb_slam3_ros2_tpu.ops import orb_descriptor as desc_ops
+
+
+class TrackMatch(NamedTuple):
+    obs_lm: jnp.ndarray  # (N,) landmark id per feature, -1 = none
+    n_matches: jnp.ndarray  # () int32
+    lm_visible_inc: jnp.ndarray  # (L,) int32 — predicted-visible counter bump
+    lm_found_inc: jnp.ndarray  # (L,) int32 — matched counter bump
+
+
+def project_map(m: ms.MapState, R, t, fx, fy, cx, cy, width, height):
+    """Project all landmarks into pose (R, t). Returns (uv (L,2), vis (L,))."""
+    x_c = lie.se3_apply(R, t, m.lm_X)
+    z = x_c[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    uv = jnp.stack(
+        [fx * x_c[:, 0] / zs + cx, fy * x_c[:, 1] / zs + cy], axis=-1
+    )
+    vis = (
+        (z > 0.1)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < width)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < height)
+        & m.lm_valid
+    )
+    return uv, vis
+
+
+def match_to_map(
+    m: ms.MapState,
+    feat_uv: jnp.ndarray,  # (N, 2) undistorted
+    feat_signs: jnp.ndarray,  # (N, 256)
+    feat_mask: jnp.ndarray,  # (N,)
+    R_pred, t_pred,
+    fx, fy, cx, cy, width, height,
+    radius: float = 15.0,
+    max_dist: float = 50.0,
+) -> TrackMatch:
+    """Search-by-projection against the whole landmark array (dense masked)."""
+    lm_uv, lm_vis = project_map(m, R_pred, t_pred, fx, fy, cx, cy, width, height)
+    lm_signs = desc_ops.signs_from_bits(m.lm_bits)
+
+    gate = matcher.window_gate(feat_uv, lm_uv, radius)  # (N, L) feature vs lm
+    res = matcher.match(
+        feat_signs, feat_mask, lm_signs, lm_vis,
+        max_dist=max_dist, ratio=0.9, gate=gate, mutual=True,
+    )
+    obs_lm = res.idx
+    L = m.lm_valid.shape[0]
+    found_inc = jnp.zeros((L,), jnp.int32).at[
+        jnp.where(obs_lm >= 0, obs_lm, L)
+    ].add(1, mode="drop")
+    return TrackMatch(
+        obs_lm=obs_lm,
+        n_matches=jnp.sum(obs_lm >= 0).astype(jnp.int32),
+        lm_visible_inc=lm_vis.astype(jnp.int32),
+        lm_found_inc=found_inc,
+    )
+
+
+def track_pose(
+    m: ms.MapState,
+    obs_lm: jnp.ndarray,  # (N,) associations from match_to_map
+    feat_uv: jnp.ndarray,
+    feat_level: jnp.ndarray,
+    R0, t0,
+    fx, fy, cx, cy,
+    scale_factor: float = 1.2,
+):
+    """Pose-only LM on current associations. Returns PoseOptResult and the
+    association vector with chi²-outliers removed."""
+    has = obs_lm >= 0
+    lm_safe = jnp.where(has, obs_lm, 0)
+    X = m.lm_X[lm_safe]
+    inv_s2 = scale_factor ** (-2.0 * feat_level.astype(jnp.float32))
+    res = pose_opt.optimize_pose(
+        R0, t0, X, feat_uv, inv_s2, has, fx, fy, cx, cy,
+    )
+    obs_clean = jnp.where(res.inliers, obs_lm, -1)
+    return res, obs_clean
+
+
+def triangulate_between(
+    m: ms.MapState,
+    kf_a: jnp.ndarray,  # () int32 — new keyframe id
+    kf_b: jnp.ndarray,  # () int32 — covisible keyframe id
+    fx, fy, cx, cy,
+    max_dist: float = 50.0,
+    min_parallax_cos: float = 0.99995,
+    reproj_th: float = 2.0,
+    min_z: float = 0.05,
+    max_z_factor: float = 40.0,
+):
+    """Match unassociated features of kf_a vs kf_b and triangulate.
+
+    Returns (X (N,3) world, bits (N,8), accept (N,), feat_a ids, feat_b ids)
+    sized by the feature capacity N of a keyframe.
+    """
+    sa = desc_ops.signs_from_bits(m.kf_bits[kf_a])
+    sb = desc_ops.signs_from_bits(m.kf_bits[kf_b])
+    free_a = m.kf_feat_valid[kf_a] & (m.kf_obs_lm[kf_a] < 0)
+    free_b = m.kf_feat_valid[kf_b] & (m.kf_obs_lm[kf_b] < 0)
+
+    # epipolar gate: distance of b-feature to epipolar line of a-feature
+    Ra, ta = m.kf_R[kf_a], m.kf_t[kf_a]
+    Rb, tb = m.kf_R[kf_b], m.kf_t[kf_b]
+    # relative pose b<-a: T_ba = T_bw ∘ T_wa
+    Rab, tab = lie.se3_compose(Rb, tb, *lie.se3_inverse(Ra, ta))
+    E = lie.hat(tab) @ Rab
+    Kinv = jnp.array(
+        [[1.0 / fx, 0.0, -cx / fx], [0.0, 1.0 / fy, -cy / fy], [0.0, 0.0, 1.0]]
+    )
+    F = Kinv.T @ E @ Kinv
+    ha = jnp.concatenate(
+        [m.kf_uv[kf_a], jnp.ones_like(m.kf_uv[kf_a][:, :1])], axis=-1
+    )
+    hb = jnp.concatenate(
+        [m.kf_uv[kf_b], jnp.ones_like(m.kf_uv[kf_b][:, :1])], axis=-1
+    )
+    lines_b = ha @ F.T  # (N, 3) epipolar lines in image b
+    d = jnp.abs(jnp.einsum("mi,ni->nm", hb, lines_b)) / jnp.sqrt(
+        jnp.maximum(lines_b[:, None, 0] ** 2 + lines_b[:, None, 1] ** 2, 1e-12)
+    )  # (Na, Nb)
+    gate = d < 3.0
+
+    res = matcher.match(
+        sa, free_a, sb, free_b, max_dist=max_dist, ratio=0.8, gate=gate,
+        mutual=True,
+    )
+    idx_b = jnp.where(res.valid, res.idx, 0)
+
+    # triangulate in world frame: rays from both cameras
+    uva = m.kf_uv[kf_a]
+    uvb = m.kf_uv[kf_b][idx_b]
+    xa = jnp.stack(
+        [(uva[:, 0] - cx) / fx, (uva[:, 1] - cy) / fy, jnp.ones(uva.shape[0])],
+        axis=-1,
+    )
+    xb = jnp.stack(
+        [(uvb[:, 0] - cx) / fx, (uvb[:, 1] - cy) / fy, jnp.ones(uvb.shape[0])],
+        axis=-1,
+    )
+    # DLT rows from P_a = [Ra|ta], P_b = [Rb|tb] (world-frame solution)
+    Pa = jnp.concatenate([Ra, ta[:, None]], axis=1)
+    Pb = jnp.concatenate([Rb, tb[:, None]], axis=1)
+
+    def rows(P, x):
+        r1 = x[:, 0:1, None] * P[None, 2:3] - P[None, 0:1]
+        r2 = x[:, 1:2, None] * P[None, 2:3] - P[None, 1:2]
+        return jnp.concatenate([r1, r2], axis=1)
+
+    A = jnp.concatenate([rows(Pa, xa), rows(Pb, xb)], axis=1)  # (N, 4, 4)
+    _, _, vt = jnp.linalg.svd(A)
+    Xh = vt[:, -1]
+    X = Xh[:, :3] / jnp.where(jnp.abs(Xh[:, 3:]) < 1e-10, 1e-10, Xh[:, 3:])
+
+    # vetting
+    xca = lie.se3_apply(Ra, ta, X)
+    xcb = lie.se3_apply(Rb, tb, X)
+    za, zb = xca[:, 2], xcb[:, 2]
+    ea = jnp.stack(
+        [fx * xca[:, 0] / jnp.maximum(za, 1e-8) + cx,
+         fy * xca[:, 1] / jnp.maximum(za, 1e-8) + cy], axis=-1
+    ) - uva
+    eb = jnp.stack(
+        [fx * xcb[:, 0] / jnp.maximum(zb, 1e-8) + cx,
+         fy * xcb[:, 1] / jnp.maximum(zb, 1e-8) + cy], axis=-1
+    ) - uvb
+    # parallax between viewing rays
+    ca = -jnp.einsum("ij,j->i", Ra.T, ta)  # camera centers (world)
+    cb = -jnp.einsum("ij,j->i", Rb.T, tb)
+    ra = X - ca
+    rb = X - cb
+    cos_par = jnp.sum(ra * rb, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(ra, axis=-1) * jnp.linalg.norm(rb, axis=-1), 1e-12
+    )
+    baseline = jnp.linalg.norm(cb - ca)
+    accept = (
+        res.valid
+        & (za > min_z) & (zb > min_z)
+        & (za < baseline * max_z_factor) & (zb < baseline * max_z_factor)
+        & (jnp.linalg.norm(ea, axis=-1) < reproj_th)
+        & (jnp.linalg.norm(eb, axis=-1) < reproj_th)
+        & (cos_par < min_parallax_cos)
+    )
+    return X, m.kf_bits[kf_a], accept, jnp.arange(uva.shape[0]), idx_b
+
+
+def local_ba(
+    m: ms.MapState,
+    window_ids: jnp.ndarray,  # (W,) keyframe ids (pad by repeating id 0)
+    fix_ids_mask: jnp.ndarray,  # (W,) bool — poses to hold fixed
+    fx, fy, cx, cy,
+    n_iters: int = 8,
+) -> ms.MapState:
+    """Windowed BA over the dense observation table; writes results back."""
+    uv_t, w_t, kf_ok = ms.observation_table(m, window_ids)
+    p = ba_mod.BAProblem(
+        R=m.kf_R[window_ids],
+        t=m.kf_t[window_ids],
+        X=m.lm_X,
+        uv=uv_t,
+        w=w_t * kf_ok[:, None],
+        fixed=fix_ids_mask | ~kf_ok,
+        point_valid=m.lm_valid,
+    )
+    out = ba_mod.bundle_adjust(p, fx, fy, cx, cy, n_iters=n_iters)
+    # write back poses (scatter; duplicate pad ids resolve to same values)
+    kf_R = m.kf_R.at[window_ids].set(out.R)
+    kf_t = m.kf_t.at[window_ids].set(out.t)
+    # landmarks: only those observed by the window moved
+    moved = (w_t.sum(0) > 0)
+    lm_X = jnp.where(moved[:, None], out.X, m.lm_X)
+    return m._replace(kf_R=kf_R, kf_t=kf_t, lm_X=lm_X)
+
+
+def cull_landmarks(
+    m: ms.MapState,
+    min_found_ratio: float = 0.25,
+    min_obs: int = 2,
+    grace_obs: int = 3,
+) -> ms.MapState:
+    """Invalidate weak landmarks (reference MapPointCulling policy):
+    found/visible ratio below threshold, or too few keyframe observations
+    once past the creation grace period."""
+    ratio = m.lm_found.astype(jnp.float32) / jnp.maximum(
+        m.lm_visible.astype(jnp.float32), 1.0
+    )
+    bad = (ratio < min_found_ratio) & (m.lm_visible > grace_obs)
+    bad |= (m.lm_n_obs < min_obs) & (m.lm_visible > grace_obs)
+    return m._replace(lm_valid=m.lm_valid & ~bad)

@@ -1,0 +1,120 @@
+"""Place recognition: BoW vocabulary + retrieval as MXU matmuls (E8 part 1).
+
+Reference behavior: DBoW2 hierarchical binary vocabulary (`ORBvoc.txt`,
+loaded at `/root/reference/src/imu_mono_realsense.cpp:52-53`) + an inverted
+keyframe index (`KeyFrameDatabase`) for loop-closure / relocalization
+candidates [upstream].
+
+TPU-native redesign: a flat vocabulary of W anchor descriptors (±1 vectors).
+Word assignment for all N features of a frame is one (N,256)x(256,W) matmul
+argmax; the frame's global descriptor is an idf-weighted normalized word
+histogram; database retrieval is one (K,W)x(W,) matmul + top-k — no tree
+walks, no inverted lists, everything dense on the MXU. The anchors come from
+a deterministic PRNG (a data-independent codebook); idf statistics adapt
+online from the keyframes actually inserted.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_WORDS = 1024
+N_BITS = 256
+
+
+@functools.lru_cache(maxsize=None)
+def _anchors_np(n_words: int = N_WORDS, seed: int = 7) -> np.ndarray:
+    """(W, 256) ±1 anchor descriptors (the codebook)."""
+    rng = np.random.default_rng(seed)
+    return np.where(rng.random((n_words, N_BITS)) < 0.5, -1.0, 1.0).astype(
+        np.float32
+    )
+
+
+def anchors() -> jnp.ndarray:
+    return jnp.asarray(_anchors_np())
+
+
+def assign_words(signs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """(N, 256) ±1 descriptors -> (N,) word ids (masked entries -> -1)."""
+    sim = jax.lax.dot_general(
+        signs, anchors(),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, W)
+    w = jnp.argmax(sim, axis=-1).astype(jnp.int32)
+    return jnp.where(mask, w, -1)
+
+
+def bow_vector(signs: jnp.ndarray, mask: jnp.ndarray,
+               idf: jnp.ndarray | None = None) -> jnp.ndarray:
+    """L2-normalized (idf-weighted) word histogram of one frame: (W,)."""
+    w = assign_words(signs, mask)
+    hist = jnp.zeros((N_WORDS,), jnp.float32).at[
+        jnp.where(w >= 0, w, N_WORDS)
+    ].add(1.0, mode="drop")
+    if idf is not None:
+        hist = hist * idf
+    return hist / jnp.maximum(jnp.linalg.norm(hist), 1e-8)
+
+
+class BowDatabase(NamedTuple):
+    """Fixed-capacity keyframe BoW database (device arrays)."""
+
+    vecs: jnp.ndarray  # (K, W) normalized bow vectors
+    valid: jnp.ndarray  # (K,)
+    doc_freq: jnp.ndarray  # (W,) word document counts (for idf)
+    n: jnp.ndarray  # () int32
+
+
+def empty_database(max_kf: int) -> BowDatabase:
+    return BowDatabase(
+        vecs=jnp.zeros((max_kf, N_WORDS), jnp.float32),
+        valid=jnp.zeros((max_kf,), bool),
+        doc_freq=jnp.zeros((N_WORDS,), jnp.float32),
+        n=jnp.zeros((), jnp.int32),
+    )
+
+
+@jax.jit
+def add_keyframe(db: BowDatabase, signs: jnp.ndarray, mask: jnp.ndarray
+                 ) -> BowDatabase:
+    vec = bow_vector(signs, mask)
+    k = jnp.minimum(db.n, db.vecs.shape[0] - 1)
+    ok = db.n < db.vecs.shape[0]
+    return BowDatabase(
+        vecs=db.vecs.at[k].set(jnp.where(ok, vec, db.vecs[k])),
+        valid=db.valid.at[k].set(db.valid[k] | ok),
+        doc_freq=db.doc_freq + jnp.where(ok, (vec > 0).astype(jnp.float32), 0.0),
+        n=db.n + jnp.where(ok, 1, 0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def query(db: BowDatabase, signs: jnp.ndarray, mask: jnp.ndarray,
+          exclude_from: jnp.ndarray, exclude_to: jnp.ndarray,
+          top_k: int = 5):
+    """Top-k similar keyframes, excluding ids in [exclude_from, exclude_to].
+
+    The exclusion window is the covisible-neighborhood guard the reference
+    applies when proposing loop candidates [upstream KeyFrameDatabase]."""
+    idf = jnp.log(
+        jnp.maximum(db.n.astype(jnp.float32), 1.0)
+        / jnp.maximum(db.doc_freq, 1.0)
+    )
+    q = bow_vector(signs, mask, idf)
+    # database vectors are unweighted-normalized; re-weight both sides
+    vecs = db.vecs * idf[None, :]
+    vecs = vecs / jnp.maximum(
+        jnp.linalg.norm(vecs, axis=-1, keepdims=True), 1e-8
+    )
+    scores = vecs @ q  # (K,)
+    ids = jnp.arange(db.vecs.shape[0])
+    ok = db.valid & ((ids < exclude_from) | (ids > exclude_to))
+    scores = jnp.where(ok, scores, -1.0)
+    return jax.lax.top_k(scores, top_k)

@@ -1,0 +1,615 @@
+"""System facade — the reference's host API surface (SURVEY.md §2.2).
+
+Mirrors the `ORB_SLAM3::System` contract the wrapper consumes:
+
+* ctor (vocab, settings, sensor, viewer flag) —
+  `/root/reference/src/imu_mono_realsense.cpp:99-100`
+* `TrackMonocular(im, t, imu) -> T_cw` — :334-337 (the wrapper passes no IMU
+  samples due to a plumbing bug, :334; we implement the correct contract:
+  all samples in (t_prev, t_img] are consumed)
+* `isImuInitialized` — :375; `GetInertialBA1/2` — :485-495 (fork additions)
+* `GetMapPCL` — :460 (map-point snapshot); `getPrettyFrame` — :340
+* Atlas save/load settings keys — `config/Monocular/MilkV.yaml:74-75`
+
+Architecture: *functional core, imperative shell* (SURVEY.md §7). All
+compute steps (extraction, matching, pose LM, triangulation, BA, VI init)
+are jitted pure functions over the fixed-capacity `MapState`; this class is
+the thin host state machine (NOT_INITIALIZED / OK / LOST) holding the map
+pytree and scheduling those functions — the TPU-native equivalent of the
+reference's four engine threads, with no threads and no mutexes.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+import time as _time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_ros2_tpu.atlas import map_state as ms
+from orb_slam3_ros2_tpu.frontend import extractor as ex
+from orb_slam3_ros2_tpu.frontend import initializer as init_mod
+from orb_slam3_ros2_tpu.frontend import tracking as trk
+from orb_slam3_ros2_tpu.geom import lie
+from orb_slam3_ros2_tpu.imu import preintegration as pre_mod
+from orb_slam3_ros2_tpu.imu import vi_init as vii
+from orb_slam3_ros2_tpu.io import settings as settings_mod
+from orb_slam3_ros2_tpu.models import cameras as cam_mod
+from orb_slam3_ros2_tpu.ops import matcher
+
+
+class Sensor(enum.IntEnum):
+    """Sensor modes (reference enum surface:
+    `src/imu_mono_realsense.cpp:83-87` uses MONOCULAR / IMU_MONOCULAR;
+    upstream also has the stereo/RGBD modes — config dirs exist)."""
+
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+    IMU_MONOCULAR = 3
+    IMU_STEREO = 4
+    IMU_RGBD = 5
+
+
+class TrackingState(enum.IntEnum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+class ImuPoint:
+    """IMU measurement record (reference `ORB_SLAM3::IMU::Point` [api],
+    `src/imu_mono_realsense.cpp:334`)."""
+
+    __slots__ = ("acc", "gyro", "t")
+
+    def __init__(self, acc, gyro, t):
+        self.acc = np.asarray(acc, np.float64)
+        self.gyro = np.asarray(gyro, np.float64)
+        self.t = float(t)
+
+
+class System:
+    """TPU-native SLAM engine with the reference System's API."""
+
+    MIN_INIT_MATCHES = 90
+    MIN_TRACK_INLIERS = 15
+    KF_MIN_GAP = 3  # frames
+    LOCAL_WINDOW = 8
+    VI_INIT_KFS = 8  # keyframes before attempting VI initialization
+
+    def __init__(
+        self,
+        vocab_path: Optional[str],
+        settings_path: str,
+        sensor: Sensor = Sensor.MONOCULAR,
+        use_viewer: bool = False,
+        map_cfg: Optional[ms.MapConfig] = None,
+        init_frame: int = 0,
+    ):
+        del vocab_path, init_frame  # vocabulary is built-in (projection BoW)
+        self.sensor = Sensor(sensor)
+        self.settings = settings_mod.load_settings(settings_path)
+        self.use_viewer = use_viewer
+        cam = self.settings.camera
+        self.cam = cam
+
+        self.ex_cfg = ex.ExtractorConfig(
+            n_features=self.settings.n_features,
+            n_levels=self.settings.n_levels,
+            scale_factor=self.settings.scale_factor,
+            ini_th_fast=float(self.settings.ini_th_fast),
+            min_th_fast=float(self.settings.min_th_fast),
+            height=cam.height,
+            width=cam.width,
+        )
+        n_cap = ex.total_capacity(self.ex_cfg)
+        self.map_cfg = map_cfg or ms.MapConfig(
+            max_kf=96, max_lm=8192, n_feat=n_cap
+        )
+        assert self.map_cfg.n_feat == n_cap, "map n_feat must match extractor"
+
+        self._build_jitted()
+        self.reset()
+
+    # ------------------------------------------------------------------ setup
+
+    def _build_jitted(self):
+        cam = self.cam
+        fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+        W, H = cam.width, cam.height
+        sf = self.ex_cfg.scale_factor
+
+        self._extract = ex.make_extractor(self.ex_cfg)
+
+        @jax.jit
+        def undistort(uv):
+            rays = cam_mod.unproject(cam, uv)
+            return jnp.stack(
+                [fx * rays[..., 0] + cx, fy * rays[..., 1] + cy], axis=-1
+            )
+
+        self._undistort = undistort
+
+        @jax.jit
+        def match_frames(signs_a, mask_a, signs_b, mask_b):
+            return matcher.match(
+                signs_a, mask_a, signs_b, mask_b,
+                max_dist=60.0, ratio=0.85, mutual=True,
+            )
+
+        self._match_frames = match_frames
+
+        self._initialize = jax.jit(
+            functools.partial(
+                init_mod.initialize, fx=fx, fy=fy, cx=cx, cy=cy,
+                min_good=50,
+            )
+        )
+
+        self._match_to_map = jax.jit(
+            functools.partial(
+                trk.match_to_map, fx=fx, fy=fy, cx=cx, cy=cy,
+                width=W, height=H,
+            )
+        )
+
+        self._track_pose = jax.jit(
+            functools.partial(
+                trk.track_pose, fx=fx, fy=fy, cx=cx, cy=cy, scale_factor=sf
+            )
+        )
+
+        self._triangulate = jax.jit(
+            functools.partial(trk.triangulate_between, fx=fx, fy=fy, cx=cx, cy=cy)
+        )
+
+        self._local_ba = jax.jit(
+            functools.partial(trk.local_ba, fx=fx, fy=fy, cx=cx, cy=cy)
+        )
+
+        self._cull = jax.jit(trk.cull_landmarks)
+        self._insert_kf = jax.jit(ms.insert_keyframe)
+        self._add_lms = jax.jit(ms.add_landmarks)
+
+        @jax.jit
+        def bump_counters(m, vis_inc, found_inc):
+            return m._replace(
+                lm_visible=m.lm_visible + vis_inc,
+                lm_found=m.lm_found + found_inc,
+            )
+
+        self._bump = bump_counters
+
+        n_pre = max(int(4.0 * self.settings.imu_frequency / max(
+            self.settings.fps, 1.0)), 16)
+        self._pre_cap = n_pre  # static preintegration batch capacity / frame
+
+        @jax.jit
+        def preint(gyro, acc, dts, mask, bg, ba):
+            return pre_mod.preintegrate(
+                gyro, acc, dts, mask, bg, ba,
+                noise_gyro=self.settings.noise_gyro,
+                noise_acc=self.settings.noise_acc,
+            )
+
+        self._preint = preint
+
+        @jax.jit
+        def apply_sim3_to_map(m, R_align, s):
+            """x_new = s · R_align x_old; poses stay metric-consistent."""
+            lm_X = s * jnp.einsum("ij,lj->li", R_align, m.lm_X)
+            kf_R = m.kf_R @ R_align.T[None]
+            kf_t = s * m.kf_t
+            return m._replace(lm_X=lm_X, kf_R=kf_R, kf_t=kf_t)
+
+        self._apply_sim3 = apply_sim3_to_map
+
+        self._vi_init = jax.jit(vii.vi_init)
+
+    # ------------------------------------------------------------------ state
+
+    def reset(self):
+        self.map = ms.empty_map(self.map_cfg)
+        self.state = TrackingState.NOT_INITIALIZED
+        self.Tcw = np.eye(4, dtype=np.float32)  # current camera pose
+        self.velocity: Optional[np.ndarray] = None  # T_cur_last (4, 4)
+        self.last_Tcw: Optional[np.ndarray] = None
+        self.ref_feats = None  # initialization reference frame
+        self.ref_time = None
+        self.frames_since_kf = 0
+        self.last_kf_inliers = 1
+        self.n_frames = 0
+        self.trajectory: List[Tuple[float, np.ndarray]] = []
+        self.tracking_log: List[dict] = []
+        # IMU
+        self.imu_initialized = False
+        self.inertial_ba1 = False
+        self.inertial_ba2 = False
+        self.imu_queue: List[ImuPoint] = []
+        self.kf_preints: List = []  # preintegrated deltas between KFs
+        self.kf_times: List[float] = []
+        self._kf_imu_buf: List[ImuPoint] = []
+        self.bg = np.zeros(3)
+        self.ba = np.zeros(3)
+        self.last_frame_feats = None
+        self.scale_applied = 1.0
+
+    # --------------------------------------------------------------- helpers
+
+    def _pose44(self, R, t) -> np.ndarray:
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(R)
+        T[:3, 3] = np.asarray(t)
+        return T
+
+    def _preprocess(self, im: np.ndarray) -> jnp.ndarray:
+        if im.ndim == 3:
+            im = im.mean(axis=-1)
+        im = np.asarray(im, np.float32)
+        H, W = self.cam.height, self.cam.width
+        if im.shape != (H, W):
+            import cv2
+
+            im = cv2.resize(im, (W, H), interpolation=cv2.INTER_AREA)
+        return jnp.asarray(im)
+
+    def _extract_undistorted(self, img: jnp.ndarray):
+        import dataclasses
+
+        f = self._extract(img)
+        uv_u = self._undistort(f.uv)
+        return dataclasses.replace(f, uv=uv_u)
+
+    # ------------------------------------------------------------ public API
+
+    def track_monocular(
+        self,
+        im: np.ndarray,
+        timestamp: float,
+        imu_measurements: Sequence[ImuPoint] = (),
+    ) -> np.ndarray:
+        """Per-frame entry point; returns 4x4 T_cw (camera-from-world).
+
+        Contract of `System::TrackMonocular`
+        (`src/imu_mono_realsense.cpp:334-337` [api]); IMU samples must cover
+        (t_prev, t_img] — correctly interleaved here, unlike the wrapper's
+        half-wired path (SURVEY.md §3.2)."""
+        t0 = _time.perf_counter()
+        if self.sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO):
+            self.imu_queue.extend(imu_measurements)
+            self._kf_imu_buf.extend(imu_measurements)
+
+        img = self._preprocess(im)
+        feats = self._extract_undistorted(img)
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            self._try_initialize(feats, timestamp)
+        elif self.state == TrackingState.OK:
+            self._track(feats, timestamp)
+        else:
+            self._relocalize(feats, timestamp)
+
+        self.last_frame_feats = feats
+        self.n_frames += 1
+        self.trajectory.append((timestamp, self.Tcw.copy()))
+        self.tracking_log.append(
+            {
+                "t": timestamp,
+                "state": int(self.state),
+                "ms": (_time.perf_counter() - t0) * 1e3,
+            }
+        )
+        return self.Tcw.copy()
+
+    # Reference-parity getters -------------------------------------------
+
+    def is_imu_initialized(self) -> bool:
+        return self.imu_initialized
+
+    def get_inertial_ba1(self) -> bool:
+        return self.inertial_ba1
+
+    def get_inertial_ba2(self) -> bool:
+        return self.inertial_ba2
+
+    def get_map_pcl(self) -> np.ndarray:
+        """Map-point snapshot — `GetMapPCL` parity
+        (`src/imu_mono_realsense.cpp:460`)."""
+        X = np.asarray(self.map.lm_X)
+        valid = np.asarray(self.map.lm_valid)
+        return X[valid]
+
+    def get_tracking_state(self) -> TrackingState:
+        return self.state
+
+    def get_trajectory(self):
+        return list(self.trajectory)
+
+    def shutdown(self):
+        pass
+
+    # ------------------------------------------------------- initialization
+
+    def _try_initialize(self, feats, timestamp: float):
+        n_valid = int(np.asarray(feats.mask.sum()))
+        if self.ref_feats is None or n_valid < self.MIN_INIT_MATCHES:
+            if n_valid >= self.MIN_INIT_MATCHES:
+                self.ref_feats = feats
+                self.ref_time = timestamp
+            return
+        res = self._match_frames(
+            self.ref_feats.signs, self.ref_feats.mask, feats.signs, feats.mask
+        )
+        idx = np.asarray(res.idx)
+        n_match = int((idx >= 0).sum())
+        if n_match < self.MIN_INIT_MATCHES:
+            # reference drops the init frame if matching degrades [upstream]
+            if timestamp - self.ref_time > 2.0:
+                self.ref_feats = feats
+                self.ref_time = timestamp
+            return
+
+        valid = res.idx >= 0
+        idx_safe = jnp.where(valid, res.idx, 0)
+        uv2 = feats.uv[idx_safe]
+        key = jax.random.PRNGKey(self.n_frames)
+        out = self._initialize(key, self.ref_feats.uv, uv2, valid)
+        if not bool(out.ok):
+            if timestamp - self.ref_time > 2.0:
+                self.ref_feats = feats
+                self.ref_time = timestamp
+            return
+
+        self._create_initial_map(out, feats, idx_safe, timestamp)
+
+    def _create_initial_map(self, out, feats, idx_safe, timestamp: float):
+        good = np.asarray(out.good)
+        X = np.asarray(out.X)  # frame-1 (== world) camera coords
+        # median-depth normalization (reference scales the init map so the
+        # median scene depth is 1 [upstream])
+        med = np.median(X[good, 2]) if good.any() else 1.0
+        s = 1.0 / max(med, 1e-6)
+        Xw = X * s
+        R2 = np.asarray(out.R)
+        t2 = np.asarray(out.t) * s
+
+        m = self.map
+        f0 = self.ref_feats
+        m = self._insert_kf(
+            m, jnp.eye(3), jnp.zeros(3), jnp.asarray(self.ref_time or 0.0),
+            f0.uv, f0.level, f0.bits, f0.mask,
+            jnp.full((f0.uv.shape[0],), -1, jnp.int32),
+        )
+        m = self._insert_kf(
+            m, jnp.asarray(R2), jnp.asarray(t2), jnp.asarray(timestamp),
+            feats.uv, feats.level, feats.bits, feats.mask,
+            jnp.full((feats.uv.shape[0],), -1, jnp.int32),
+        )
+        N = f0.uv.shape[0]
+        m = self._add_lms(
+            m,
+            jnp.asarray(Xw, jnp.float32),
+            f0.bits,
+            jnp.asarray(good),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.arange(N, dtype=jnp.int32),
+            jnp.asarray(1, jnp.int32), idx_safe.astype(jnp.int32),
+        )
+        # init BA over the two views
+        window = jnp.asarray([0, 1] + [0] * (self.LOCAL_WINDOW - 2), jnp.int32)
+        fix = jnp.asarray(
+            [True, False] + [True] * (self.LOCAL_WINDOW - 2), bool
+        )
+        m = self._local_ba(m, window, fix, n_iters=12)
+        self.map = m
+        self.state = TrackingState.OK
+        self.Tcw = self._pose44(np.asarray(m.kf_R[1]), np.asarray(m.kf_t[1]))
+        self.last_Tcw = self.Tcw.copy()
+        self.velocity = None
+        self.frames_since_kf = 0
+        self.last_kf_inliers = int(good.sum())
+        self.kf_times = [self.ref_time or 0.0, timestamp]
+        self._start_kf_preint()
+
+    # ------------------------------------------------------------- tracking
+
+    def _predict_pose(self) -> np.ndarray:
+        if self.velocity is not None:
+            return self.velocity @ self.Tcw
+        return self.Tcw
+
+    def _track(self, feats, timestamp: float):
+        T_pred = self._predict_pose()
+        R_pred = jnp.asarray(T_pred[:3, :3])
+        t_pred = jnp.asarray(T_pred[:3, 3])
+
+        tm = self._match_to_map(
+            self.map, feats.uv, feats.signs, feats.mask, R_pred, t_pred,
+        )
+        n_match = int(tm.n_matches)
+        if n_match < self.MIN_TRACK_INLIERS:
+            # widen the search once (reference doubles the window on failure)
+            tm = self._match_to_map(
+                self.map, feats.uv, feats.signs, feats.mask, R_pred, t_pred,
+                radius=30.0,
+            )
+            n_match = int(tm.n_matches)
+        if n_match < self.MIN_TRACK_INLIERS:
+            self.state = TrackingState.LOST
+            return
+
+        res, obs_clean = self._track_pose(
+            self.map, tm.obs_lm, feats.uv, feats.level, R_pred, t_pred
+        )
+        n_inl = int(res.n_inliers)
+        if n_inl < self.MIN_TRACK_INLIERS:
+            self.state = TrackingState.LOST
+            return
+
+        self.map = self._bump(self.map, tm.lm_visible_inc, tm.lm_found_inc)
+        T_new = self._pose44(np.asarray(res.R), np.asarray(res.t))
+        if self.last_Tcw is not None:
+            self.velocity = T_new @ np.linalg.inv(self.last_Tcw)
+        self.last_Tcw = T_new
+        self.Tcw = T_new
+        self.frames_since_kf += 1
+
+        if self._need_keyframe(n_inl):
+            self._insert_keyframe(feats, obs_clean, timestamp, n_inl)
+
+    def _need_keyframe(self, n_inl: int) -> bool:
+        if int(self.map.n_kf) >= self.map_cfg.max_kf - 1:
+            return False
+        max_gap = max(int(self.cam.fps), 10)
+        if self.frames_since_kf >= max_gap:
+            return True
+        if self.frames_since_kf < self.KF_MIN_GAP:
+            return False
+        return n_inl < 0.6 * self.last_kf_inliers or n_inl < 60
+
+    def _insert_keyframe(self, feats, obs_clean, timestamp: float, n_inl: int):
+        m = self.map
+        m = self._insert_kf(
+            m,
+            jnp.asarray(self.Tcw[:3, :3]), jnp.asarray(self.Tcw[:3, 3]),
+            jnp.asarray(timestamp),
+            feats.uv, feats.level, feats.bits, feats.mask,
+            obs_clean.astype(jnp.int32),
+        )
+        new_id = int(m.n_kf) - 1
+        prev_id = new_id - 1
+        X, bits, accept, fa, fb = self._triangulate(
+            m, jnp.asarray(new_id, jnp.int32), jnp.asarray(prev_id, jnp.int32)
+        )
+        m = self._add_lms(
+            m, X, bits, accept, jnp.asarray(new_id, jnp.int32),
+            jnp.asarray(new_id, jnp.int32), fa,
+            jnp.asarray(prev_id, jnp.int32), fb,
+        )
+        # local BA window: last LOCAL_WINDOW keyframes, oldest ones fixed
+        W = self.LOCAL_WINDOW
+        n_kf = int(m.n_kf)
+        ids = np.clip(np.arange(n_kf - W, n_kf), 0, n_kf - 1)
+        fix = np.zeros(W, bool)
+        fix[ids <= max(n_kf - W, 0)] = True
+        fix[0] = True
+        m = self._local_ba(
+            m, jnp.asarray(ids, jnp.int32), jnp.asarray(fix), n_iters=6
+        )
+        m = self._cull(m)
+        self.map = m
+        self.frames_since_kf = 0
+        self.last_kf_inliers = max(n_inl, 1)
+        self.kf_times.append(timestamp)
+        if self.sensor == Sensor.IMU_MONOCULAR:
+            self._finish_kf_preint(timestamp)
+            if (not self.imu_initialized
+                    and len(self.kf_preints) >= self.VI_INIT_KFS - 1):
+                self._run_vi_init()
+
+    # ------------------------------------------------------------------ IMU
+
+    def _start_kf_preint(self):
+        self._kf_imu_buf = []
+
+    def _finish_kf_preint(self, timestamp: float):
+        """Preintegrate buffered samples for the ending inter-KF interval."""
+        buf = [p for p in self._kf_imu_buf if p.t <= timestamp]
+        self._kf_imu_buf = [p for p in self._kf_imu_buf if p.t > timestamp]
+        cap = self._pre_cap * 4
+        gyro = np.zeros((cap, 3), np.float32)
+        acc = np.zeros((cap, 3), np.float32)
+        dts = np.zeros((cap,), np.float32)
+        mask = np.zeros((cap,), bool)
+        tprev = self.kf_times[-2] if len(self.kf_times) >= 2 else (
+            buf[0].t if buf else timestamp)
+        for i, p in enumerate(buf[:cap]):
+            gyro[i] = p.gyro
+            acc[i] = p.acc
+            dts[i] = max(p.t - tprev, 1e-5)
+            tprev = p.t
+            mask[i] = True
+        pre = self._preint(
+            jnp.asarray(gyro), jnp.asarray(acc), jnp.asarray(dts),
+            jnp.asarray(mask), jnp.asarray(self.bg, jnp.float32),
+            jnp.asarray(self.ba, jnp.float32),
+        )
+        self.kf_preints.append(pre)
+
+    def _run_vi_init(self):
+        """VIBA1: inertial-only optimization with visual poses fixed, then
+        upgrade the map with the recovered scale + gravity rotation."""
+        n_kf = int(self.map.n_kf)
+        n_int = len(self.kf_preints)
+        k0 = n_kf - (n_int + 1)
+        if k0 < 0:
+            return
+        kf_ids = np.arange(k0, n_kf)
+        R_cw = np.asarray(self.map.kf_R)[kf_ids]
+        t_cw = np.asarray(self.map.kf_t)[kf_ids]
+        # body poses (T_bc = identity unless settings provide IMU extrinsics)
+        Tbc = (np.asarray(self.settings.T_b_c1)
+               if self.settings.T_b_c1 is not None else np.eye(4))
+        R_bc, t_bc = Tbc[:3, :3].astype(np.float32), Tbc[:3, 3].astype(np.float32)
+        # T_wb = T_wc ∘ T_cb
+        R_wc = np.swapaxes(R_cw, -1, -2)
+        p_wc = -np.einsum("kij,kj->ki", R_wc, t_cw)
+        R_wb = R_wc @ R_bc.T[None]
+        p_wb = p_wc - np.einsum("kij,jl,l->ki", R_wc, R_bc.T, t_bc)
+
+        pres = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *self.kf_preints
+        )
+        out = self._vi_init(
+            pres, jnp.asarray(R_wb, jnp.float32), jnp.asarray(p_wb, jnp.float32)
+        )
+        s = float(out.scale)
+        if not (0.05 < s < 50.0) or not np.isfinite(s):
+            return
+        R_wg = np.asarray(out.R_wg)
+        # align gravity to world -z and rescale map to metric units
+        self.map = self._apply_sim3(
+            self.map, jnp.asarray(R_wg.T, jnp.float32), jnp.asarray(s, jnp.float32)
+        )
+        # keep current pose/velocity consistent
+        self.Tcw = self._pose44(
+            self.Tcw[:3, :3] @ R_wg, self.Tcw[:3, 3] * s
+        )
+        self.last_Tcw = self.Tcw.copy()
+        self.velocity = None
+        self.bg = np.asarray(out.bg)
+        self.ba = np.asarray(out.ba)
+        self.scale_applied = s
+        self.imu_initialized = True
+        self.inertial_ba1 = True
+        # VIBA2 (joint refinement) runs as the next local BA passes over the
+        # rescaled map; flag semantics follow the fork's stage gates.
+        self.inertial_ba2 = True
+
+    # ------------------------------------------------------- relocalization
+
+    def _relocalize(self, feats, timestamp: float):
+        """Brute-force descriptor relocalization against the landmark set
+        (the reference goes through DBoW2 candidates + PnP [upstream];
+        round-1 equivalent: global gated match + pose LM from last pose)."""
+        tm = self._match_to_map(
+            self.map, feats.uv, feats.signs, feats.mask,
+            jnp.asarray(self.Tcw[:3, :3]), jnp.asarray(self.Tcw[:3, 3]),
+            radius=80.0, max_dist=45.0,
+        )
+        if int(tm.n_matches) < 25:
+            return
+        res, obs_clean = self._track_pose(
+            self.map, tm.obs_lm, feats.uv, feats.level,
+            jnp.asarray(self.Tcw[:3, :3]), jnp.asarray(self.Tcw[:3, 3]),
+        )
+        if int(res.n_inliers) >= 25:
+            self.Tcw = self._pose44(np.asarray(res.R), np.asarray(res.t))
+            self.last_Tcw = self.Tcw.copy()
+            self.velocity = None
+            self.state = TrackingState.OK

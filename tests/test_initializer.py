@@ -1,0 +1,103 @@
+"""Two-view initializer: recovers relative pose on synthetic correspondences."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_ros2_tpu.frontend import initializer as init_mod
+from orb_slam3_ros2_tpu.geom import lie
+
+
+def _two_view(planar: bool, seed=0, n=300, noise=0.4, outlier_frac=0.0):
+    rng = np.random.default_rng(seed)
+    fx = fy = 400.0
+    cx, cy = 320.0, 240.0
+    if planar:
+        X = np.stack(
+            [rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), np.full(n, 6.0)],
+            axis=-1,
+        )
+    else:
+        X = np.stack(
+            [rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), rng.uniform(4, 9, n)],
+            axis=-1,
+        )
+    R = np.asarray(lie.so3_exp(jnp.asarray([0.03, -0.08, 0.02], jnp.float32)))
+    t = np.array([0.6, 0.05, 0.1])  # translation between views
+
+    def proj(Xc):
+        return np.stack(
+            [fx * Xc[:, 0] / Xc[:, 2] + cx, fy * Xc[:, 1] / Xc[:, 2] + cy],
+            axis=-1,
+        )
+
+    uv1 = proj(X) + rng.normal(0, noise, (n, 2))
+    X2 = (R @ X.T).T + t
+    uv2 = proj(X2) + rng.normal(0, noise, (n, 2))
+    mask = np.ones(n, bool)
+    if outlier_frac:
+        out = rng.random(n) < outlier_frac
+        uv2[out] += rng.uniform(-80, 80, (out.sum(), 2))
+    return (jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+            jnp.asarray(mask), R, t, fx, fy, cx, cy)
+
+
+def _check(planar, seed, outlier_frac=0.0):
+    uv1, uv2, mask, R_gt, t_gt, fx, fy, cx, cy = _two_view(
+        planar, seed=seed, outlier_frac=outlier_frac
+    )
+    out = init_mod.initialize(
+        jax.random.PRNGKey(seed), uv1, uv2, mask, fx, fy, cx, cy
+    )
+    assert bool(out.ok), f"init failed (planar={planar})"
+    R_err = np.linalg.norm(np.asarray(out.R) - R_gt)
+    t_est = np.asarray(out.t)
+    t_dir = t_gt / np.linalg.norm(t_gt)
+    cos = abs(t_est @ t_dir)
+    assert R_err < 0.03, R_err
+    assert cos > 0.995, cos
+    # triangulated structure should be consistent up to scale
+    good = np.asarray(out.good)
+    assert good.sum() > 100
+    return out
+
+
+def test_init_general_scene():
+    _check(planar=False, seed=1)
+
+
+def test_init_planar_scene_uses_homography():
+    out = _check(planar=True, seed=2)
+    assert bool(out.used_h)
+
+
+def test_init_with_outliers():
+    _check(planar=False, seed=3, outlier_frac=0.2)
+
+
+def test_init_rejects_pure_rotation():
+    rng = np.random.default_rng(4)
+    n = 300
+    fx = fy = 400.0
+    cx, cy = 320.0, 240.0
+    X = np.stack(
+        [rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), rng.uniform(4, 9, n)],
+        axis=-1,
+    )
+    R = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.05, 0.0], jnp.float32)))
+
+    def proj(Xc):
+        return np.stack(
+            [fx * Xc[:, 0] / Xc[:, 2] + cx, fy * Xc[:, 1] / Xc[:, 2] + cy],
+            axis=-1,
+        )
+
+    uv1 = proj(X) + rng.normal(0, 0.4, (n, 2))
+    uv2 = proj((R @ X.T).T) + rng.normal(0, 0.4, (n, 2))
+    out = init_mod.initialize(
+        jax.random.PRNGKey(0),
+        jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+        jnp.ones(n, bool), fx, fy, cx, cy,
+    )
+    # no parallax -> must not accept
+    assert not bool(out.ok)

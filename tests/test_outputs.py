@@ -1,0 +1,65 @@
+"""Host output products: filters, grids, PCD/PGM round trips."""
+
+import numpy as np
+
+from orb_slam3_ros2_tpu.runtime import outputs
+
+
+def test_sor_and_radius_filter_removes_outliers():
+    rng = np.random.default_rng(0)
+    cluster = rng.normal(0, 0.05, (500, 3))
+    outliers = rng.uniform(5, 10, (20, 3))
+    pts = np.concatenate([cluster, outliers])
+    filtered = outputs.filter_point_cloud(pts)
+    assert len(filtered) >= 400
+    assert (np.linalg.norm(filtered, axis=1) < 1.0).all()
+
+
+def test_occupancy_grid_rasterization():
+    pts = np.array([[0.0, 0.0, 0.0], [1.0, 0.5, 0.0], [0.52, 0.26, 0.0]])
+    grid, origin = outputs.point_cloud_to_occupancy_grid(pts, resolution=0.05)
+    assert origin == (0.0, 0.0)
+    assert grid[0, 0] == 100
+    assert grid[int(0.5 / 0.05), int(1.0 / 0.05)] == 100
+    assert grid[int(0.26 / 0.05), int(0.52 / 0.05)] == 100
+    assert (grid == 100).sum() == 3
+
+
+def test_pcd_roundtrip(tmp_path):
+    pts = np.asarray([[1.5, -2.0, 3.25], [0.0, 0.1, 0.2]], np.float32)
+    p = str(tmp_path / "cloud" / "c.pcd")
+    outputs.save_pcd(p, pts)
+    back = outputs.load_pcd(p)
+    np.testing.assert_allclose(back, pts, atol=1e-5)
+
+
+def test_pgm_yaml_artifacts(tmp_path):
+    grid = np.full((4, 6), -1, np.int8)
+    grid[1, 2] = 100
+    grid[0, 0] = 0
+    base = str(tmp_path / "grid" / "map")
+    outputs.save_occupancy_grid(base, grid, (1.0, 2.0))
+    with open(base + ".pgm", "rb") as f:
+        header = f.readline().strip()
+        dims = f.readline().split()
+        _ = f.readline()
+        data = f.read()
+    assert header == b"P5"
+    assert [int(x) for x in dims] == [6, 4]
+    img = np.frombuffer(data, np.uint8).reshape(4, 6)[::-1]
+    assert img[1, 2] == 0  # occupied -> black
+    assert img[0, 0] == 254  # free -> white
+    assert img[2, 3] == 205  # unknown -> gray
+    with open(base + ".yaml") as f:
+        y = f.read()
+    assert "occupied_thresh: 0.65" in y
+    assert "free_thresh: 0.196" in y
+    assert "resolution: 0.05" in y
+
+
+def test_annotate_frame_shapes():
+    img = np.zeros((120, 160), np.uint8)
+    uv = np.array([[10.0, 20.0], [150.0, 100.0]])
+    vis = outputs.annotate_frame(img, uv, np.array([True, True]))
+    assert vis.shape == (120, 160, 3)
+    assert vis.sum() > 0
