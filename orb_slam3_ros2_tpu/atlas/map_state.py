@@ -182,15 +182,14 @@ def observation_table(m: MapState, kf_ids: jnp.ndarray):
     kf_sel_valid = m.kf_valid[kf_ids]
 
     has = (obs >= 0) & fv & kf_sel_valid[:, None]
-    obs_safe = jnp.where(has, obs, 0)
+    # invalid features scatter out of bounds (dropped) — never slot 0
+    obs_safe = jnp.where(has, obs, L)
 
     W = kf_ids.shape[0]
     uv_t = jnp.zeros((W, L, 2))
     w_t = jnp.zeros((W, L))
     rows = jnp.broadcast_to(jnp.arange(W)[:, None], obs.shape)
-    uv_t = uv_t.at[rows, obs_safe].set(
-        jnp.where(has[..., None], uv_f, 0.0), mode="drop"
-    )
-    w_t = w_t.at[rows, obs_safe].max(has.astype(jnp.float32), mode="drop")
+    uv_t = uv_t.at[rows, obs_safe].set(uv_f, mode="drop")
+    w_t = w_t.at[rows, obs_safe].set(1.0, mode="drop")
     w_t = w_t * m.lm_valid[None, :]
     return uv_t, w_t, kf_sel_valid

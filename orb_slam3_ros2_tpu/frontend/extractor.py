@@ -29,6 +29,7 @@ from orb_slam3_ros2_tpu.ops import orb_descriptor as desc_ops
 from orb_slam3_ros2_tpu.ops import pyramid as pyr_ops
 
 CELL = 32  # spatial-uniformity cell size in pixels
+PER_CELL = 5  # candidates kept per cell before the global budget top-k
 EDGE = 19  # extraction margin: patch radius 15 + blur/fast slack
 
 
@@ -91,25 +92,26 @@ def _level_grid_select(score: jnp.ndarray, keep: jnp.ndarray, ini_th: float,
     interior = (ys >= EDGE) & (ys < h - EDGE) & (xs >= EDGE) & (xs < w - EDGE)
     rank = jnp.where(interior, rank, -1.0)
 
-    # per-cell best: pad to cell multiple, reshape, argmax per cell
+    # per-cell top-PER_CELL (the quadtree-distribution equivalent), then a
+    # global top-`budget` over all cell survivors
     ph = -(-h // CELL) * CELL
     pw = -(-w // CELL) * CELL
     rp = jnp.pad(rank, ((0, ph - h), (0, pw - w)), constant_values=-1.0)
     cells = rp.reshape(ph // CELL, CELL, pw // CELL, CELL).transpose(0, 2, 1, 3)
     cells = cells.reshape(-1, CELL * CELL)  # (n_cells, CELL*CELL)
-    best_in_cell = jnp.argmax(cells, axis=-1)
-    best_rank = jnp.take_along_axis(cells, best_in_cell[:, None], axis=-1)[:, 0]
+    cell_rank, cell_idx = jax.lax.top_k(cells, PER_CELL)  # (n_cells, PER_CELL)
 
     n_cells_y = ph // CELL
     n_cells_x = pw // CELL
     cell_ids = jnp.arange(n_cells_y * n_cells_x)
-    cy = cell_ids // n_cells_x
-    cx = cell_ids % n_cells_x
-    py = cy * CELL + best_in_cell // CELL
-    px = cx * CELL + best_in_cell % CELL
+    cy = (cell_ids // n_cells_x)[:, None]
+    cx = (cell_ids % n_cells_x)[:, None]
+    py = (cy * CELL + cell_idx // CELL).reshape(-1)
+    px = (cx * CELL + cell_idx % CELL).reshape(-1)
+    flat_rank = cell_rank.reshape(-1)
 
-    k = min(budget, best_rank.shape[0])
-    top_rank, top_idx = jax.lax.top_k(best_rank, k)
+    k = min(budget, flat_rank.shape[0])
+    top_rank, top_idx = jax.lax.top_k(flat_rank, k)
     yx = jnp.stack([py[top_idx], px[top_idx]], axis=-1).astype(jnp.int32)
     valid = top_rank > 0.0
     raw_score = jnp.where(top_rank > BONUS / 2, top_rank - BONUS, top_rank)

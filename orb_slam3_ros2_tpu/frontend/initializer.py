@@ -138,19 +138,15 @@ def _triangulate(R, t, x1n, x2n):
     x*n: (N, 3) unit-z rays in each camera. P1 = [I|0], P2 = [R|t].
     Returns X (N, 3) in camera-1 coordinates.
     """
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)  # (3, 4)
     P2 = jnp.concatenate([R, t[:, None]], axis=1)  # (3, 4)
-    # rows: x1 cross P1, x2 cross P2 (two rows each)
-    def rows_from(P, x):
-        r1 = x[..., 0:1] * P[2:3] - P[0:1]  # (N, 1, 4)
-        r2 = x[..., 1:2] * P[2:3] - P[1:2]
-        return jnp.concatenate([r1, r2], axis=-2)
 
-    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
-    A = jnp.concatenate(
-        [rows_from(P1[None], x1n[:, None] * jnp.ones((1, 1, 1))),
-         rows_from(P2[None], x2n[:, None] * jnp.ones((1, 1, 1)))],
-        axis=-2,
-    )  # (N, 4, 4) — rows scaled per point
+    def rows_from(P, x):  # P (3, 4), x (N, 3) -> (N, 2, 4)
+        r1 = x[:, 0:1, None] * P[None, 2:3, :] - P[None, 0:1, :]
+        r2 = x[:, 1:2, None] * P[None, 2:3, :] - P[None, 1:2, :]
+        return jnp.concatenate([r1, r2], axis=1)
+
+    A = jnp.concatenate([rows_from(P1, x1n), rows_from(P2, x2n)], axis=1)
     _, _, vt = jnp.linalg.svd(A)
     Xh = vt[:, -1]
     return Xh[:, :3] / jnp.where(jnp.abs(Xh[:, 3:]) < 1e-10, 1e-10, Xh[:, 3:])

@@ -220,28 +220,40 @@ def triangulate_between(
 
 def local_ba(
     m: ms.MapState,
-    window_ids: jnp.ndarray,  # (W,) keyframe ids (pad by repeating id 0)
+    window_ids: jnp.ndarray,  # (W,) keyframe ids (pad by repeating an id)
     fix_ids_mask: jnp.ndarray,  # (W,) bool — poses to hold fixed
     fx, fy, cx, cy,
     n_iters: int = 8,
 ) -> ms.MapState:
-    """Windowed BA over the dense observation table; writes results back."""
+    """Windowed BA over the dense observation table; writes results back.
+
+    Duplicate window ids (short-map padding) are deactivated past their first
+    occurrence so padded entries neither double-count observations nor race
+    on the pose write-back scatter."""
+    W = window_ids.shape[0]
+    first_occurrence = (
+        jnp.argmax(window_ids[None, :] == window_ids[:, None], axis=1)
+        == jnp.arange(W)
+    )
     uv_t, w_t, kf_ok = ms.observation_table(m, window_ids)
+    active = kf_ok & first_occurrence
     p = ba_mod.BAProblem(
         R=m.kf_R[window_ids],
         t=m.kf_t[window_ids],
         X=m.lm_X,
         uv=uv_t,
-        w=w_t * kf_ok[:, None],
-        fixed=fix_ids_mask | ~kf_ok,
+        w=w_t * active[:, None],
+        fixed=fix_ids_mask | ~active,
         point_valid=m.lm_valid,
     )
     out = ba_mod.bundle_adjust(p, fx, fy, cx, cy, n_iters=n_iters)
-    # write back poses (scatter; duplicate pad ids resolve to same values)
-    kf_R = m.kf_R.at[window_ids].set(out.R)
-    kf_t = m.kf_t.at[window_ids].set(out.t)
+    # write back poses; duplicates routed out of bounds -> dropped
+    K = m.kf_R.shape[0]
+    write_ids = jnp.where(active, window_ids, K)
+    kf_R = m.kf_R.at[write_ids].set(out.R, mode="drop")
+    kf_t = m.kf_t.at[write_ids].set(out.t, mode="drop")
     # landmarks: only those observed by the window moved
-    moved = (w_t.sum(0) > 0)
+    moved = (w_t * active[:, None]).sum(0) > 0
     lm_X = jnp.where(moved[:, None], out.X, m.lm_X)
     return m._replace(kf_R=kf_R, kf_t=kf_t, lm_X=lm_X)
 

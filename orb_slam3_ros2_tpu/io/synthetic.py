@@ -151,7 +151,7 @@ def make_scene(
 # ---------------------------------------------------------------------------
 
 
-def _texture(h: int, w: int, seed: int, n_boxes: int = 120) -> np.ndarray:
+def _texture(h: int, w: int, seed: int, n_boxes: int = 300) -> np.ndarray:
     rng = np.random.default_rng(seed)
     img = np.full((h, w), 30.0, np.float32)
     for _ in range(n_boxes):

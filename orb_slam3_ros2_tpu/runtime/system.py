@@ -38,6 +38,8 @@ from orb_slam3_ros2_tpu.geom import lie
 from orb_slam3_ros2_tpu.imu import preintegration as pre_mod
 from orb_slam3_ros2_tpu.imu import vi_init as vii
 from orb_slam3_ros2_tpu.io import settings as settings_mod
+from orb_slam3_ros2_tpu.loop import closing as closing_mod
+from orb_slam3_ros2_tpu.loop import vocab as vocab_mod
 from orb_slam3_ros2_tpu.models import cameras as cam_mod
 from orb_slam3_ros2_tpu.ops import matcher
 
@@ -169,7 +171,8 @@ class System:
         )
 
         self._local_ba = jax.jit(
-            functools.partial(trk.local_ba, fx=fx, fy=fy, cx=cx, cy=cy)
+            functools.partial(trk.local_ba, fx=fx, fy=fy, cx=cx, cy=cy),
+            static_argnames=("n_iters",),
         )
 
         self._cull = jax.jit(trk.cull_landmarks)
@@ -238,6 +241,10 @@ class System:
         self.ba = np.zeros(3)
         self.last_frame_feats = None
         self.scale_applied = 1.0
+        # loop closing
+        self.bow_db = vocab_mod.empty_database(self.map_cfg.max_kf)
+        self.n_loops_closed = 0
+        self.last_loop_kf = -10**9
 
     # --------------------------------------------------------------- helpers
 
@@ -506,11 +513,62 @@ class System:
         self.frames_since_kf = 0
         self.last_kf_inliers = max(n_inl, 1)
         self.kf_times.append(timestamp)
+        self.bow_db = vocab_mod.add_keyframe(self.bow_db, feats.signs,
+                                             feats.mask)
         if self.sensor == Sensor.IMU_MONOCULAR:
             self._finish_kf_preint(timestamp)
             if (not self.imu_initialized
                     and len(self.kf_preints) >= self.VI_INIT_KFS - 1):
                 self._run_vi_init()
+        if self.settings.loop_closing:
+            self._try_close_loop(new_id, feats)
+
+    # ------------------------------------------------------------ loop close
+
+    LOOP_EXCLUDE = 12  # recent keyframes excluded from candidates
+    LOOP_MIN_SCORE = 0.10
+    LOOP_COOLDOWN = 10  # keyframes between accepted loops
+
+    def _try_close_loop(self, new_kf: int, feats):
+        """BoW candidate → Sim3 verification → pose-graph correction.
+
+        Equivalent of the reference's LoopClosing thread pass per keyframe
+        [upstream]; gated by the fork's `loopClosing` settings switch."""
+        if new_kf < self.LOOP_EXCLUDE + 2:
+            return
+        if new_kf - self.last_loop_kf < self.LOOP_COOLDOWN:
+            return
+        scores, ids = vocab_mod.query(
+            self.bow_db, feats.signs, feats.mask,
+            jnp.asarray(max(new_kf - self.LOOP_EXCLUDE, 0)),
+            jnp.asarray(self.map_cfg.max_kf),
+            top_k=3,
+        )
+        scores = np.asarray(scores)
+        ids = np.asarray(ids)
+        for rank in range(len(ids)):
+            if scores[rank] < self.LOOP_MIN_SCORE:
+                break
+            cand = closing_mod.detect_and_verify(
+                self.map, new_kf, int(ids[rank]),
+                jax.random.PRNGKey(self.n_frames + rank),
+                fix_scale=self.imu_initialized,
+            )
+            if cand is None:
+                continue
+            self.map = closing_mod.close_loop(
+                self.map, new_kf, cand, fix_scale=self.imu_initialized
+            )
+            # current pose snaps to the corrected keyframe pose
+            self.Tcw = self._pose44(
+                np.asarray(self.map.kf_R[new_kf]),
+                np.asarray(self.map.kf_t[new_kf]),
+            )
+            self.last_Tcw = self.Tcw.copy()
+            self.velocity = None
+            self.n_loops_closed += 1
+            self.last_loop_kf = new_kf
+            return
 
     # ------------------------------------------------------------------ IMU
 
