@@ -1,0 +1,216 @@
+"""Joint visual-inertial bundle adjustment — VIBA2 (E7).
+
+Reference behavior: after VIBA1, ORB-SLAM3 runs full visual-inertial BA —
+reprojection residuals plus preintegration factors linking consecutive
+keyframes' pose/velocity/bias states (the fork reports the stage through
+`GetInertialBA2`, `/root/reference/src/imu_mono_realsense.cpp:491-495`)
+[upstream `Optimizer::FullInertialBA` / `LocalInertialBA`].
+
+TPU-native: landmarks are Schur-eliminated exactly as in visual BA
+(backend/ba.py); the reduced camera system is *extended* with per-keyframe
+velocities and one shared bias pair, state layout
+
+    [ ξ_0..ξ_{K-1} (6K) | v_0..v_{K-1} (3K) | bg (3) | ba (3) ]
+
+Inertial residual blocks are exact `jax.jacfwd` Jacobians over the 24 local
+tangent coordinates of each interval (vmapped over all K-1 intervals),
+whitened by the preintegration covariance, scattered into the dense reduced
+system. One solve of (9K+6)² per iteration — still trivial next to the
+visual contraction work.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_ros2_tpu.backend import ba as ba_mod
+from orb_slam3_ros2_tpu.backend import residuals as res
+from orb_slam3_ros2_tpu.geom import lie
+from orb_slam3_ros2_tpu.imu import preintegration as pre_mod
+
+HUBER = ba_mod.HUBER
+FIXED_PRIOR = ba_mod.FIXED_PRIOR
+
+
+class VIBAResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    X: jnp.ndarray
+    v: jnp.ndarray  # (K, 3)
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    cost: jnp.ndarray
+
+
+def _inertial_terms(pres, R, t, v, bg, ba, Wmats, R_bc, t_bc):
+    """Residuals + Jacobians for all K-1 intervals via vmapped jacfwd.
+
+    Poses are T_cw; body states derive through the camera-to-body extrinsic
+    (T_bc): T_wb = T_wc ∘ T_cb. Returns r (K-1, 9), J (K-1, 9, 24) in local
+    tangent order [ξ_i(6), ξ_j(6), v_i(3), v_j(3), bg(3), ba(3)].
+    """
+    K = R.shape[0]
+
+    def body_state(Rcw, tcw, xi):
+        dR, dt = lie.se3_exp(xi)
+        Rcw2, tcw2 = lie.se3_compose(dR, dt, Rcw, tcw)
+        Rwc, twc = lie.se3_inverse(Rcw2, tcw2)
+        # T_wb = T_wc ∘ T_cb ; T_cb = (R_bc, t_bc)^-1
+        R_cb, t_cb = lie.se3_inverse(R_bc, t_bc)
+        R_wb, p_wb = lie.se3_compose(Rwc, twc, R_cb, t_cb)
+        return R_wb, p_wb
+
+    def one(i):
+        pre_i = jax.tree_util.tree_map(lambda x: x[i], pres)
+
+        def f(tan):
+            xi_i, xi_j = tan[:6], tan[6:12]
+            dvi, dvj = tan[12:15], tan[15:18]
+            dbg, dba = tan[18:21], tan[21:24]
+            R_wb_i, p_wb_i = body_state(R[i], t[i], xi_i)
+            R_wb_j, p_wb_j = body_state(R[i + 1], t[i + 1], xi_j)
+            r = pre_mod.residual(
+                pre_i,
+                R_wb_i, p_wb_i, v[i] + dvi,
+                R_wb_j, p_wb_j, v[i + 1] + dvj,
+                bg + dbg, ba + dba,
+            )
+            return Wmats[i] @ r
+
+        z = jnp.zeros(24)
+        return f(z), jax.jacfwd(f)(z)
+
+    r, J = jax.vmap(one)(jnp.arange(K - 1))
+    return r, J
+
+
+def vi_bundle_adjust(
+    p: ba_mod.BAProblem,
+    pres: pre_mod.Preintegrated,  # stacked, leading dim K-1
+    v0: jnp.ndarray,  # (K, 3) initial velocities
+    bg0: jnp.ndarray,
+    ba0: jnp.ndarray,
+    fx, fy, cx, cy,
+    R_bc: jnp.ndarray | None = None,  # body-from-camera extrinsic
+    t_bc: jnp.ndarray | None = None,
+    n_iters: int = 8,
+    prior_bg: float = 1e2,
+    prior_ba: float = 1e1,
+) -> VIBAResult:
+    K = p.R.shape[0]
+    if R_bc is None:
+        R_bc = jnp.eye(3)
+        t_bc = jnp.zeros(3)
+
+    info = jax.vmap(pre_mod.information)(pres)
+    Wmats = jnp.linalg.cholesky(
+        0.5 * (info + jnp.swapaxes(info, -1, -2)) + 1e-6 * jnp.eye(9)[None]
+    )
+    Wmats = jnp.swapaxes(Wmats, -1, -2)  # upper-triangular whitener
+
+    D = 9 * K + 6  # reduced system size
+
+    def step(carry, _):
+        R, t, X, v, bg, ba, lam = carry
+
+        # ----- visual part (identical structure to ba.ba_iteration) -----
+        q = p._replace(R=R, t=t, X=X)
+        proj, ww, vis_cost = ba_mod._robust_terms(q, fx, fy, cx, cy, p.w)
+        Jc, Jx, r_v = proj.J_pose, proj.J_point, proj.r
+        Hcc = jnp.einsum("klai,kl,klaj->kij", Jc, ww, Jc)
+        Hll = jnp.einsum("klai,kl,klaj->lij", Jx, ww, Jx)
+        Wcl = jnp.einsum("klai,kl,klaj->klij", Jc, ww, Jx)
+        bc = jnp.einsum("klai,kl,kla->ki", Jc, ww, r_v)
+        bl = jnp.einsum("klai,kl,kla->li", Jx, ww, r_v)
+
+        eye3 = jnp.eye(3)
+        Hll = Hll + lam * jnp.abs(jnp.einsum("lii->li", Hll))[:, :, None] \
+            * eye3 + 1e-8 * eye3
+        Hll_inv = jnp.linalg.inv(Hll)
+        WHinv = jnp.einsum("klab,lbc->klac", Wcl, Hll_inv)
+        S_pose = -jnp.einsum("klac,mldc->kmad", WHinv, Wcl)
+        S_pose = S_pose.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
+        rhs_pose = bc - jnp.einsum("klac,lc->ka", WHinv, bl)
+
+        H = jnp.zeros((D, D))
+        b = jnp.zeros((D,))
+        H = H.at[: 6 * K, : 6 * K].set(
+            S_pose.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+        )
+        b = b.at[: 6 * K].set(rhs_pose.reshape(-1))
+
+        # ----- inertial part -----
+        r_i, J_i = _inertial_terms(pres, R, t, v, bg, ba, Wmats, R_bc, t_bc)
+        # column index map per interval: [6i..6i+6), [6j..), v_i, v_j, bg, ba
+        def cols(i):
+            return jnp.concatenate([
+                6 * i + jnp.arange(6),
+                6 * (i + 1) + jnp.arange(6),
+                6 * K + 3 * i + jnp.arange(3),
+                6 * K + 3 * (i + 1) + jnp.arange(3),
+                jnp.full((3,), 9 * K) + jnp.arange(3),
+                jnp.full((3,), 9 * K + 3) + jnp.arange(3),
+            ])
+
+        col_idx = jax.vmap(cols)(jnp.arange(K - 1))  # (K-1, 24)
+        Ht_blocks = jnp.einsum("eai,eaj->eij", J_i, J_i)  # (K-1, 24, 24)
+        bt_blocks = jnp.einsum("eai,ea->ei", J_i, r_i)
+        rows = col_idx[:, :, None] * jnp.ones((1, 1, 24), jnp.int32)
+        colsm = col_idx[:, None, :] * jnp.ones((1, 24, 1), jnp.int32)
+        H = H.at[rows, colsm].add(Ht_blocks)
+        b = b.at[col_idx].add(bt_blocks)
+
+        # bias priors + gauge priors
+        diag_prior = jnp.zeros((D,))
+        diag_prior = diag_prior.at[9 * K:9 * K + 3].add(prior_bg)
+        diag_prior = diag_prior.at[9 * K + 3:].add(prior_ba)
+        fixed_pose = jnp.repeat(jnp.where(p.fixed, FIXED_PRIOR, 0.0), 6)
+        diag_prior = diag_prior.at[: 6 * K].add(fixed_pose)
+        Hd = H + jnp.diag(lam * jnp.abs(jnp.diag(H)) + diag_prior + 1e-8)
+
+        dx = -jnp.linalg.solve(Hd, b)
+        dxc = dx[: 6 * K].reshape(K, 6)
+        dv = dx[6 * K:9 * K].reshape(K, 3)
+        dbg = dx[9 * K:9 * K + 3]
+        dba = dx[9 * K + 3:]
+
+        dxl = -jnp.einsum(
+            "lab,lb->la", Hll_inv, bl + jnp.einsum("klab,ka->lb", Wcl, dxc)
+        ) * p.point_valid[:, None]
+
+        R_new, t_new = lie.se3_retract(R, t, dxc)
+        R_new = lie.se3_normalize(R_new)
+        X_new = X + dxl
+        v_new = v + dv
+        bg_new = bg + dbg
+        ba_new = ba + dba
+
+        # accept/reject on total cost
+        def total_cost(Rr, tt, XX, vv, bgg, baa):
+            qq = p._replace(R=Rr, t=tt, X=XX)
+            _, _, c_vis = ba_mod._robust_terms(qq, fx, fy, cx, cy, p.w)
+            rr, _ = _inertial_terms(pres, Rr, tt, vv, bgg, baa, Wmats,
+                                    R_bc, t_bc)
+            return (c_vis + jnp.sum(rr * rr)
+                    + prior_bg * jnp.sum(bgg**2) + prior_ba * jnp.sum(baa**2))
+
+        c0 = total_cost(R, t, X, v, bg, ba)
+        c1 = total_cost(R_new, t_new, X_new, v_new, bg_new, ba_new)
+        better = c1 < c0
+        R = jnp.where(better, R_new, R)
+        t = jnp.where(better, t_new, t)
+        X = jnp.where(better, X_new, X)
+        v = jnp.where(better, v_new, v)
+        bg = jnp.where(better, bg_new, bg)
+        ba = jnp.where(better, ba_new, ba)
+        lam = jnp.where(better, lam * 0.3, lam * 5.0).clip(1e-9, 1e3)
+        return (R, t, X, v, bg, ba, lam), c1
+
+    (R, t, X, v, bg, ba, _), costs = jax.lax.scan(
+        step, (p.R, p.t, p.X, v0, bg0, ba0, jnp.asarray(1e-4, jnp.float32)),
+        None, length=n_iters,
+    )
+    return VIBAResult(R=R, t=t, X=X, v=v, bg=bg, ba=ba, cost=costs[-1])

@@ -115,13 +115,31 @@ def _level_grid_select(score: jnp.ndarray, keep: jnp.ndarray, ini_th: float,
     yx = jnp.stack([py[top_idx], px[top_idx]], axis=-1).astype(jnp.int32)
     valid = top_rank > 0.0
     raw_score = jnp.where(top_rank > BONUS / 2, top_rank - BONUS, top_rank)
+
+    # sub-pixel refinement: 1-D parabola fit on the score along each axis
+    # (integer keypoints quantize reprojection residuals by ~0.5 px/level,
+    # which dominates pose error at short focal lengths)
+    ys = jnp.clip(yx[:, 0], 1, h - 2)
+    xs_ = jnp.clip(yx[:, 1], 1, w - 2)
+    s0 = score[ys, xs_]
+    sym = score[ys - 1, xs_]
+    syp = score[ys + 1, xs_]
+    sxm = score[ys, xs_ - 1]
+    sxp = score[ys, xs_ + 1]
+    # denominator is negative at a local maximum — clamp from above
+    dy = 0.5 * (sym - syp) / jnp.minimum(sym - 2 * s0 + syp, -1e-6)
+    dx = 0.5 * (sxm - sxp) / jnp.minimum(sxm - 2 * s0 + sxp, -1e-6)
+    offset = jnp.stack(
+        [jnp.clip(dy, -0.5, 0.5), jnp.clip(dx, -0.5, 0.5)], axis=-1
+    )
     # pad to exactly `budget`
     if k < budget:
         pad = budget - k
         yx = jnp.pad(yx, ((0, pad), (0, 0)))
         raw_score = jnp.pad(raw_score, (0, pad))
         valid = jnp.pad(valid, (0, pad))
-    return yx, raw_score, valid
+        offset = jnp.pad(offset, ((0, pad), (0, 0)))
+    return yx, raw_score, valid, offset
 
 
 @functools.lru_cache(maxsize=8)
@@ -145,7 +163,7 @@ def make_extractor(cfg: ExtractorConfig):
                 continue
             score = fast_ops.fast_score(im_l)
             keep = fast_ops.nms3x3(score)
-            yx, sc, valid = _level_grid_select(
+            yx, sc, valid, subpix = _level_grid_select(
                 score, keep, cfg.ini_th_fast, cfg.min_th_fast, budget
             )
             # clamp coords (invalid entries may sit at the border)
@@ -159,7 +177,8 @@ def make_extractor(cfg: ExtractorConfig):
 
             s = scales[lvl]
             uv = jnp.stack(
-                [yx[:, 1].astype(jnp.float32) * s, yx[:, 0].astype(jnp.float32) * s],
+                [(yx[:, 1].astype(jnp.float32) + subpix[:, 1]) * s,
+                 (yx[:, 0].astype(jnp.float32) + subpix[:, 0]) * s],
                 axis=-1,
             )
             uv_all.append(uv)

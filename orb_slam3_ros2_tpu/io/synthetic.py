@@ -171,6 +171,7 @@ def render_sequence(
     seed: int = 0,
     plane_depths=(6.0, 9.0),
     traj_scale: float = 1.0,
+    stereo_baseline: float = 0.0,
 ):
     """Render a camera flying in front of fronto-parallel textured planes.
 
@@ -194,23 +195,35 @@ def render_sequence(
     for i, depth in enumerate(plane_depths):
         planes.append((_texture(tex_h, tex_w, seed + 10 + i), depth))
 
-    images = np.zeros((n_frames, height, width), np.float32)
-    # texture pixel -> world: x = -half_x + u/tex_w * 2*half_x, etc.
-    for k in range(n_frames):
+    def render(Rk, tk):
         frame = np.zeros((height, width), np.float32)
         for tex, depth in sorted(planes, key=lambda p: -p[1]):  # far first
             sx = 2 * half_x / tex_w
             sy = 2 * half_y / tex_h
             # world point of texture pixel (u, v): (u*sx - half_x, v*sy - half_y, depth)
             A = np.array([[sx, 0, -half_x], [0, sy, -half_y], [0, 0, depth]])
-            P = np.concatenate([R_cw[k], t_cw[k][:, None]], axis=1)  # (3,4)
+            P = np.concatenate([Rk, tk[:, None]], axis=1)  # (3,4)
             M = K @ (P[:, :3] @ A + np.outer(P[:, 3], [0, 0, 1]))
             warped = cv2.warpPerspective(
                 tex, M.astype(np.float64), (width, height),
                 flags=cv2.INTER_LINEAR, borderValue=-1.0,
             )
             frame = np.where(warped >= 0, warped, frame)
-        images[k] = frame
+        return frame
+
+    images = np.zeros((n_frames, height, width), np.float32)
+    for k in range(n_frames):
+        images[k] = render(R_cw[k], t_cw[k])
+
+    if stereo_baseline > 0.0:
+        # right camera: displaced +baseline along the left camera's x-axis;
+        # point coords in the right frame are x_r = x_l - (b, 0, 0)
+        images_r = np.zeros_like(images)
+        off = np.array([stereo_baseline, 0.0, 0.0])
+        for k in range(n_frames):
+            images_r[k] = render(R_cw[k], t_cw[k] - off)
+        return (images, images_r, R_cw.astype(np.float32),
+                t_cw.astype(np.float32), ts)
     return images, R_cw.astype(np.float32), t_cw.astype(np.float32), ts
 
 

@@ -313,6 +313,105 @@ class System:
         )
         return self.Tcw.copy()
 
+    def track_stereo(
+        self,
+        im_left: np.ndarray,
+        im_right: np.ndarray,
+        timestamp: float,
+        imu_measurements: Sequence[ImuPoint] = (),
+    ) -> np.ndarray:
+        """Stereo per-frame entry point (upstream `TrackStereo`; stereo
+        configs exist in the snapshot, `config/Stereo/*`). Landmarks are
+        spawned at metric depth from rectified scanline matches, so no
+        two-view initialization is needed and scale is observable."""
+        from orb_slam3_ros2_tpu.frontend import stereo as stereo_mod
+
+        t0 = _time.perf_counter()
+        if self.sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO):
+            self.imu_queue.extend(imu_measurements)
+            self._kf_imu_buf.extend(imu_measurements)
+
+        img_l = self._preprocess(im_left)
+        img_r = self._preprocess(im_right)
+        feats = self._extract_undistorted(img_l)
+        feats_r = self._extract_undistorted(img_r)
+        sm = stereo_mod.match_stereo(
+            feats.uv, feats.signs, feats.mask, feats.level,
+            feats_r.uv, feats_r.signs, feats_r.mask, feats_r.level,
+            self.cam.fx, self.settings.stereo_b or self.cam.baseline or 0.05,
+        )
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            self._initialize_stereo(feats, sm, timestamp)
+        elif self.state == TrackingState.OK:
+            self._track(feats, timestamp, stereo=sm)
+        else:
+            self._relocalize(feats, timestamp)
+
+        self.last_frame_feats = feats
+        self.n_frames += 1
+        self.trajectory.append((timestamp, self.Tcw.copy()))
+        self.tracking_log.append(
+            {"t": timestamp, "state": int(self.state),
+             "ms": (_time.perf_counter() - t0) * 1e3}
+        )
+        return self.Tcw.copy()
+
+    def _initialize_stereo(self, feats, sm, timestamp: float):
+        from orb_slam3_ros2_tpu.frontend import stereo as stereo_mod
+
+        n_depth = int(np.asarray((sm.valid & feats.mask).sum()))
+        if n_depth < 80:
+            return
+        m = self.map
+        N = feats.uv.shape[0]
+        m = self._insert_kf(
+            m, jnp.eye(3), jnp.zeros(3), jnp.asarray(timestamp),
+            feats.uv, feats.level, feats.bits, feats.mask,
+            jnp.full((N,), -1, jnp.int32),
+        )
+        X = stereo_mod.backproject(
+            feats.uv, sm.depth, self.cam.fx, self.cam.fy, self.cam.cx,
+            self.cam.cy,
+        )
+        accept = sm.valid & feats.mask
+        m = self._add_lms(
+            m, X, feats.bits, accept, jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.arange(N, dtype=jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.arange(N, dtype=jnp.int32),
+        )
+        self.map = m
+        self.state = TrackingState.OK
+        self.Tcw = np.eye(4, dtype=np.float32)
+        self.last_Tcw = self.Tcw.copy()
+        self.frames_since_kf = 0
+        self.last_kf_inliers = n_depth
+        self.kf_times = [timestamp]
+
+    def _insert_keyframe_stereo_landmarks(self, feats, sm, new_id: int):
+        """Spawn metric landmarks for stereo-matched features that tracking
+        did not associate to the map."""
+        from orb_slam3_ros2_tpu.frontend import stereo as stereo_mod
+
+        m = self.map
+        N = feats.uv.shape[0]
+        X_cam = stereo_mod.backproject(
+            feats.uv, sm.depth, self.cam.fx, self.cam.fy, self.cam.cx,
+            self.cam.cy,
+        )
+        R = jnp.asarray(self.Tcw[:3, :3])
+        t = jnp.asarray(self.Tcw[:3, 3])
+        Rw, tw = lie.se3_inverse(R, t)
+        X_w = lie.se3_apply(Rw, tw, X_cam)
+        free = m.kf_obs_lm[new_id] < 0
+        accept = sm.valid & feats.mask & free
+        m = self._add_lms(
+            m, X_w, feats.bits, accept, jnp.asarray(new_id, jnp.int32),
+            jnp.asarray(new_id, jnp.int32), jnp.arange(N, dtype=jnp.int32),
+            jnp.asarray(new_id, jnp.int32), jnp.arange(N, dtype=jnp.int32),
+        )
+        self.map = m
+
     # Reference-parity getters -------------------------------------------
 
     def is_imu_initialized(self) -> bool:
@@ -430,7 +529,7 @@ class System:
             return self.velocity @ self.Tcw
         return self.Tcw
 
-    def _track(self, feats, timestamp: float):
+    def _track(self, feats, timestamp: float, stereo=None):
         T_pred = self._predict_pose()
         R_pred = jnp.asarray(T_pred[:3, :3])
         t_pred = jnp.asarray(T_pred[:3, 3])
@@ -458,6 +557,20 @@ class System:
             self.state = TrackingState.LOST
             return
 
+        # second stage (reference's TrackLocalMap): re-match at the optimized
+        # pose with a tight window, then refine once more
+        tm2 = self._match_to_map(
+            self.map, feats.uv, feats.signs, feats.mask, res.R, res.t,
+            radius=7.0,
+        )
+        if int(tm2.n_matches) >= n_inl:
+            res2, obs2 = self._track_pose(
+                self.map, tm2.obs_lm, feats.uv, feats.level, res.R, res.t
+            )
+            if int(res2.n_inliers) >= n_inl:
+                res, obs_clean, tm = res2, obs2, tm2
+                n_inl = int(res2.n_inliers)
+
         self.map = self._bump(self.map, tm.lm_visible_inc, tm.lm_found_inc)
         T_new = self._pose44(np.asarray(res.R), np.asarray(res.t))
         if self.last_Tcw is not None:
@@ -467,19 +580,21 @@ class System:
         self.frames_since_kf += 1
 
         if self._need_keyframe(n_inl):
-            self._insert_keyframe(feats, obs_clean, timestamp, n_inl)
+            self._insert_keyframe(feats, obs_clean, timestamp, n_inl,
+                                  stereo=stereo)
 
     def _need_keyframe(self, n_inl: int) -> bool:
         if int(self.map.n_kf) >= self.map_cfg.max_kf - 1:
             return False
-        max_gap = max(int(self.cam.fps), 10)
+        max_gap = max(int(self.cam.fps) // 2, 5)
         if self.frames_since_kf >= max_gap:
             return True
         if self.frames_since_kf < self.KF_MIN_GAP:
             return False
-        return n_inl < 0.6 * self.last_kf_inliers or n_inl < 60
+        return n_inl < 0.75 * self.last_kf_inliers or n_inl < 60
 
-    def _insert_keyframe(self, feats, obs_clean, timestamp: float, n_inl: int):
+    def _insert_keyframe(self, feats, obs_clean, timestamp: float, n_inl: int,
+                         stereo=None):
         m = self.map
         m = self._insert_kf(
             m,
@@ -498,6 +613,10 @@ class System:
             jnp.asarray(new_id, jnp.int32), fa,
             jnp.asarray(prev_id, jnp.int32), fb,
         )
+        if stereo is not None:
+            self.map = m
+            self._insert_keyframe_stereo_landmarks(feats, stereo, new_id)
+            m = self.map
         # local BA window: last LOCAL_WINDOW keyframes, oldest ones fixed
         W = self.LOCAL_WINDOW
         n_kf = int(m.n_kf)
@@ -506,7 +625,7 @@ class System:
         fix[ids <= max(n_kf - W, 0)] = True
         fix[0] = True
         m = self._local_ba(
-            m, jnp.asarray(ids, jnp.int32), jnp.asarray(fix), n_iters=6
+            m, jnp.asarray(ids, jnp.int32), jnp.asarray(fix), n_iters=10
         )
         m = self._cull(m)
         self.map = m
