@@ -17,6 +17,16 @@ sharding over a `jax.sharding.Mesh` for distributed bundle adjustment.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# On TPU the default matmul precision is bfloat16; the geometry/BA path
+# (projection Jacobian einsums, Schur contractions, pose solves) is f32
+# accuracy-critical — measured on the synthetic mono benchmark, bf16 matmuls
+# degrade ATE ~4.7x (0.030 m -> 0.141 m). Ops that tolerate low precision
+# opt out explicitly (the ±1 Hamming matmul in ops/matcher.py accumulates
+# exactly in f32 and pins lax.Precision.DEFAULT).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 
 def __getattr__(name):  # lazy — keeps `import orb_slam3_ros2_tpu.geom` light
     if name in ("System", "Sensor"):

@@ -43,14 +43,26 @@ class VIBAResult(NamedTuple):
     bg: jnp.ndarray
     ba: jnp.ndarray
     cost: jnp.ndarray
+    thg: jnp.ndarray  # (2,) residual gravity-direction tangent (x, y)
 
 
-def _inertial_terms(pres, R, t, v, bg, ba, Wmats, R_bc, t_bc):
+def _gravity(thg):
+    """g_w from the 2-DOF tangent: exp([θx, θy, 0]) @ (0,0,-9.81).
+
+    Upstream FullInertialBA co-optimizes gravity direction (VertexGDir)
+    exactly so the biases don't absorb residual tilt left by the
+    inertial-only init stage [upstream]."""
+    return lie.so3_exp(jnp.concatenate([thg, jnp.zeros(1)])) @ jnp.array(
+        [0.0, 0.0, -9.81]
+    )
+
+
+def _inertial_terms(pres, R, t, v, bg, ba, thg, Wmats, R_bc, t_bc):
     """Residuals + Jacobians for all K-1 intervals via vmapped jacfwd.
 
     Poses are T_cw; body states derive through the camera-to-body extrinsic
-    (T_bc): T_wb = T_wc ∘ T_cb. Returns r (K-1, 9), J (K-1, 9, 24) in local
-    tangent order [ξ_i(6), ξ_j(6), v_i(3), v_j(3), bg(3), ba(3)].
+    (T_bc): T_wb = T_wc ∘ T_cb. Returns r (K-1, 9), J (K-1, 9, 26) in local
+    tangent order [ξ_i(6), ξ_j(6), v_i(3), v_j(3), bg(3), ba(3), θg(2)].
     """
     K = R.shape[0]
 
@@ -70,6 +82,7 @@ def _inertial_terms(pres, R, t, v, bg, ba, Wmats, R_bc, t_bc):
             xi_i, xi_j = tan[:6], tan[6:12]
             dvi, dvj = tan[12:15], tan[15:18]
             dbg, dba = tan[18:21], tan[21:24]
+            dthg = tan[24:26]
             R_wb_i, p_wb_i = body_state(R[i], t[i], xi_i)
             R_wb_j, p_wb_j = body_state(R[i + 1], t[i + 1], xi_j)
             r = pre_mod.residual(
@@ -77,10 +90,11 @@ def _inertial_terms(pres, R, t, v, bg, ba, Wmats, R_bc, t_bc):
                 R_wb_i, p_wb_i, v[i] + dvi,
                 R_wb_j, p_wb_j, v[i + 1] + dvj,
                 bg + dbg, ba + dba,
+                g_w=_gravity(thg + dthg),
             )
             return Wmats[i] @ r
 
-        z = jnp.zeros(24)
+        z = jnp.zeros(26)
         return f(z), jax.jacfwd(f)(z)
 
     r, J = jax.vmap(one)(jnp.arange(K - 1))
@@ -99,11 +113,20 @@ def vi_bundle_adjust(
     n_iters: int = 8,
     prior_bg: float = 1e2,
     prior_ba: float = 1e1,
+    bg_prior_center: jnp.ndarray | None = None,
+    ba_prior_center: jnp.ndarray | None = None,
+    opt_gravity: bool = True,
 ) -> VIBAResult:
+    """Priors are centered at `bg/ba_prior_center` (defaults: the initial
+    biases) — upstream FullInertialBA anchors EdgePriorGyro/EdgePriorAcc at
+    the running estimates from the inertial-only stage the same way, so the
+    joint solve refines rather than re-derives the biases."""
     K = p.R.shape[0]
     if R_bc is None:
         R_bc = jnp.eye(3)
         t_bc = jnp.zeros(3)
+    bg_c = bg0 if bg_prior_center is None else bg_prior_center
+    ba_c = ba0 if ba_prior_center is None else ba_prior_center
 
     info = jax.vmap(pre_mod.information)(pres)
     Wmats = jnp.linalg.cholesky(
@@ -111,10 +134,10 @@ def vi_bundle_adjust(
     )
     Wmats = jnp.swapaxes(Wmats, -1, -2)  # upper-triangular whitener
 
-    D = 9 * K + 6  # reduced system size
+    D = 9 * K + 8  # reduced system: poses, velocities, biases, gravity dir
 
     def step(carry, _):
-        R, t, X, v, bg, ba, lam = carry
+        R, t, X, v, bg, ba, thg, lam = carry
 
         # ----- visual part (identical structure to ba.ba_iteration) -----
         q = p._replace(R=R, t=t, X=X)
@@ -143,8 +166,9 @@ def vi_bundle_adjust(
         b = b.at[: 6 * K].set(rhs_pose.reshape(-1))
 
         # ----- inertial part -----
-        r_i, J_i = _inertial_terms(pres, R, t, v, bg, ba, Wmats, R_bc, t_bc)
-        # column index map per interval: [6i..6i+6), [6j..), v_i, v_j, bg, ba
+        r_i, J_i = _inertial_terms(pres, R, t, v, bg, ba, thg, Wmats,
+                                   R_bc, t_bc)
+        # column map per interval: [6i..6i+6), [6j..), v_i, v_j, bg, ba, θg
         def cols(i):
             return jnp.concatenate([
                 6 * i + jnp.arange(6),
@@ -153,29 +177,38 @@ def vi_bundle_adjust(
                 6 * K + 3 * (i + 1) + jnp.arange(3),
                 jnp.full((3,), 9 * K) + jnp.arange(3),
                 jnp.full((3,), 9 * K + 3) + jnp.arange(3),
+                jnp.full((2,), 9 * K + 6) + jnp.arange(2),
             ])
 
-        col_idx = jax.vmap(cols)(jnp.arange(K - 1))  # (K-1, 24)
-        Ht_blocks = jnp.einsum("eai,eaj->eij", J_i, J_i)  # (K-1, 24, 24)
+        col_idx = jax.vmap(cols)(jnp.arange(K - 1))  # (K-1, 26)
+        Ht_blocks = jnp.einsum("eai,eaj->eij", J_i, J_i)  # (K-1, 26, 26)
         bt_blocks = jnp.einsum("eai,ea->ei", J_i, r_i)
-        rows = col_idx[:, :, None] * jnp.ones((1, 1, 24), jnp.int32)
-        colsm = col_idx[:, None, :] * jnp.ones((1, 24, 1), jnp.int32)
+        rows = col_idx[:, :, None] * jnp.ones((1, 1, 26), jnp.int32)
+        colsm = col_idx[:, None, :] * jnp.ones((1, 26, 1), jnp.int32)
         H = H.at[rows, colsm].add(Ht_blocks)
         b = b.at[col_idx].add(bt_blocks)
 
-        # bias priors + gauge priors
+        # bias priors (centered at bg_c/ba_c) + gauge priors
         diag_prior = jnp.zeros((D,))
         diag_prior = diag_prior.at[9 * K:9 * K + 3].add(prior_bg)
-        diag_prior = diag_prior.at[9 * K + 3:].add(prior_ba)
+        diag_prior = diag_prior.at[9 * K + 3:9 * K + 6].add(prior_ba)
+        # θg free at init (VertexGDir), pinned for local windows where the
+        # global gravity alignment must not drift per-window
+        diag_prior = diag_prior.at[9 * K + 6:].add(
+            1e-6 if opt_gravity else FIXED_PRIOR
+        )
         fixed_pose = jnp.repeat(jnp.where(p.fixed, FIXED_PRIOR, 0.0), 6)
         diag_prior = diag_prior.at[: 6 * K].add(fixed_pose)
+        b = b.at[9 * K:9 * K + 3].add(prior_bg * (bg - bg_c))
+        b = b.at[9 * K + 3:9 * K + 6].add(prior_ba * (ba - ba_c))
         Hd = H + jnp.diag(lam * jnp.abs(jnp.diag(H)) + diag_prior + 1e-8)
 
         dx = -jnp.linalg.solve(Hd, b)
         dxc = dx[: 6 * K].reshape(K, 6)
         dv = dx[6 * K:9 * K].reshape(K, 3)
         dbg = dx[9 * K:9 * K + 3]
-        dba = dx[9 * K + 3:]
+        dba = dx[9 * K + 3:9 * K + 6]
+        dthg = dx[9 * K + 6:]
 
         dxl = -jnp.einsum(
             "lab,lb->la", Hll_inv, bl + jnp.einsum("klab,ka->lb", Wcl, dxc)
@@ -187,18 +220,20 @@ def vi_bundle_adjust(
         v_new = v + dv
         bg_new = bg + dbg
         ba_new = ba + dba
+        thg_new = thg + dthg
 
         # accept/reject on total cost
-        def total_cost(Rr, tt, XX, vv, bgg, baa):
+        def total_cost(Rr, tt, XX, vv, bgg, baa, tg):
             qq = p._replace(R=Rr, t=tt, X=XX)
             _, _, c_vis = ba_mod._robust_terms(qq, fx, fy, cx, cy, p.w)
-            rr, _ = _inertial_terms(pres, Rr, tt, vv, bgg, baa, Wmats,
+            rr, _ = _inertial_terms(pres, Rr, tt, vv, bgg, baa, tg, Wmats,
                                     R_bc, t_bc)
             return (c_vis + jnp.sum(rr * rr)
-                    + prior_bg * jnp.sum(bgg**2) + prior_ba * jnp.sum(baa**2))
+                    + prior_bg * jnp.sum((bgg - bg_c) ** 2)
+                    + prior_ba * jnp.sum((baa - ba_c) ** 2))
 
-        c0 = total_cost(R, t, X, v, bg, ba)
-        c1 = total_cost(R_new, t_new, X_new, v_new, bg_new, ba_new)
+        c0 = total_cost(R, t, X, v, bg, ba, thg)
+        c1 = total_cost(R_new, t_new, X_new, v_new, bg_new, ba_new, thg_new)
         better = c1 < c0
         R = jnp.where(better, R_new, R)
         t = jnp.where(better, t_new, t)
@@ -206,11 +241,17 @@ def vi_bundle_adjust(
         v = jnp.where(better, v_new, v)
         bg = jnp.where(better, bg_new, bg)
         ba = jnp.where(better, ba_new, ba)
+        thg = jnp.where(better, thg_new, thg)
         lam = jnp.where(better, lam * 0.3, lam * 5.0).clip(1e-9, 1e3)
-        return (R, t, X, v, bg, ba, lam), c1
+        # report the accepted state's cost (a rejected trial step may be
+        # non-finite; the state itself never is)
+        return (R, t, X, v, bg, ba, thg, lam), jnp.where(better, c1, c0)
 
-    (R, t, X, v, bg, ba, _), costs = jax.lax.scan(
-        step, (p.R, p.t, p.X, v0, bg0, ba0, jnp.asarray(1e-4, jnp.float32)),
+    (R, t, X, v, bg, ba, thg, _), costs = jax.lax.scan(
+        step,
+        (p.R, p.t, p.X, v0, bg0, ba0, jnp.zeros(2),
+         jnp.asarray(1e-4, jnp.float32)),
         None, length=n_iters,
     )
-    return VIBAResult(R=R, t=t, X=X, v=v, bg=bg, ba=ba, cost=costs[-1])
+    return VIBAResult(R=R, t=t, X=X, v=v, bg=bg, ba=ba, cost=costs[-1],
+                      thg=thg)

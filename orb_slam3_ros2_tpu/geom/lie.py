@@ -81,16 +81,21 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    # arccos has infinite derivative at ±1; clip its *input* so autodiff
+    # through the generic branch stays finite, and use a cos-based series
+    # (no θ) in the near-zero branch — the usual double-where guard.
+    cos_safe = jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(cos_safe)
     near_pi = cos_theta < -1.0 + 1e-6
-    near_zero = theta * theta < _EPS
+    near_zero = cos_theta > 1.0 - 1e-6
 
     # Generic branch: vee((R - R^T)/2) * theta / sin(theta).
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5
     sin_theta = jnp.sin(theta)
+    # θ/sinθ = 1 + θ²/6 + …, with θ² ≈ 2(1−cosθ) — AD-safe at identity
     scale = jnp.where(
         near_zero,
-        1.0 + theta * theta / 6.0,
+        1.0 + (1.0 - cos_theta) / 3.0,
         theta / jnp.where(jnp.abs(sin_theta) < 1e-12, 1.0, sin_theta),
     )
     log_generic = w * scale[..., None]

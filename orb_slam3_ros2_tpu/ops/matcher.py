@@ -38,6 +38,10 @@ def hamming_matrix(signs_a: jnp.ndarray, signs_b: jnp.ndarray) -> jnp.ndarray:
         signs_a, signs_b,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # ±1 products are exact in bf16 and the accumulator is f32, so the
+        # fast MXU path is lossless here — opt out of the library-wide
+        # 'highest' default (see package __init__)
+        precision=jax.lax.Precision.DEFAULT,
     )
     return (N_BITS - sim) * 0.5
 

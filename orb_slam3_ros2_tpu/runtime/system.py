@@ -31,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from orb_slam3_ros2_tpu.atlas import map_state as ms
+from orb_slam3_ros2_tpu.backend import ba as ba_mod
+from orb_slam3_ros2_tpu.backend import vi_ba as vi_ba_mod
 from orb_slam3_ros2_tpu.frontend import extractor as ex
 from orb_slam3_ros2_tpu.frontend import initializer as init_mod
 from orb_slam3_ros2_tpu.frontend import tracking as trk
@@ -83,6 +85,7 @@ class System:
     KF_MIN_GAP = 3  # frames
     LOCAL_WINDOW = 8
     VI_INIT_KFS = 8  # keyframes before attempting VI initialization
+    VI_LOCAL_WINDOW = 6  # keyframes in the local inertial BA window
 
     def __init__(
         self,
@@ -212,7 +215,45 @@ class System:
 
         self._apply_sim3 = apply_sim3_to_map
 
-        self._vi_init = jax.jit(vii.vi_init)
+        self._vi_init = jax.jit(vii.vi_init, static_argnames=("fix_scale",))
+
+        Tbc = (np.asarray(self.settings.T_b_c1)
+               if self.settings.T_b_c1 is not None else np.eye(4))
+        R_bc = jnp.asarray(Tbc[:3, :3], jnp.float32)
+        t_bc = jnp.asarray(Tbc[:3, 3], jnp.float32)
+
+        @functools.partial(
+            jax.jit, static_argnames=("n_iters", "opt_gravity")
+        )
+        def vi_ba2(m, window_ids, fixed_mask, pres, v0, bg, ba_, n_iters=8,
+                   opt_gravity=True):
+            """VIBA2 / LocalInertialBA: joint visual-inertial BA over a
+            consecutive-KF window, writing results back into the map."""
+            uv_t, w_t, kf_ok = ms.observation_table(m, window_ids)
+            p = ba_mod.BAProblem(
+                R=m.kf_R[window_ids], t=m.kf_t[window_ids], X=m.lm_X,
+                uv=uv_t, w=w_t * kf_ok[:, None], fixed=fixed_mask,
+                point_valid=m.lm_valid,
+            )
+            out = vi_ba_mod.vi_bundle_adjust(
+                p, pres, v0, bg, ba_, fx, fy, cx, cy,
+                R_bc=R_bc, t_bc=t_bc, n_iters=n_iters,
+                opt_gravity=opt_gravity,
+                # accel bias stays pinned near the init-stage estimate: at
+                # init-window excitation it is scale-confounded (upstream
+                # FullInertialBA keeps strong bias priors right after init)
+                prior_bg=1e2, prior_ba=1e6,
+            )
+            K = m.kf_R.shape[0]
+            write_ids = jnp.where(kf_ok, window_ids, K)
+            kf_R = m.kf_R.at[write_ids].set(out.R, mode="drop")
+            kf_t = m.kf_t.at[write_ids].set(out.t, mode="drop")
+            moved = (w_t * kf_ok[:, None]).sum(0) > 0
+            lm_X = jnp.where(moved[:, None], out.X, m.lm_X)
+            m2 = m._replace(kf_R=kf_R, kf_t=kf_t, lm_X=lm_X)
+            return m2, out.v, out.bg, out.ba, out.cost, out.thg
+
+        self._vi_ba2 = vi_ba2
 
     # ------------------------------------------------------------------ state
 
@@ -239,6 +280,7 @@ class System:
         self._kf_imu_buf: List[ImuPoint] = []
         self.bg = np.zeros(3)
         self.ba = np.zeros(3)
+        self.kf_velocities: dict = {}
         self.last_frame_feats = None
         self.scale_applied = 1.0
         # loop closing
@@ -436,6 +478,19 @@ class System:
     def get_trajectory(self):
         return list(self.trajectory)
 
+    def get_keyframe_trajectory(self):
+        """(t, T_cw 4x4) per keyframe from the *current* map — i.e. with all
+        retroactive BA / loop / scale corrections applied (the upstream
+        `SaveKeyFrameTrajectoryTUM` evaluation surface [upstream])."""
+        n_kf = int(self.map.n_kf)
+        kR = np.asarray(self.map.kf_R)[:n_kf]
+        kt = np.asarray(self.map.kf_t)[:n_kf]
+        out = []
+        for k in range(n_kf):
+            out.append((self.kf_times[k] if k < len(self.kf_times) else 0.0,
+                        self._pose44(kR[k], kt[k])))
+        return out
+
     def shutdown(self):
         pass
 
@@ -617,28 +672,38 @@ class System:
             self.map = m
             self._insert_keyframe_stereo_landmarks(feats, stereo, new_id)
             m = self.map
-        # local BA window: last LOCAL_WINDOW keyframes, oldest ones fixed
-        W = self.LOCAL_WINDOW
-        n_kf = int(m.n_kf)
-        ids = np.clip(np.arange(n_kf - W, n_kf), 0, n_kf - 1)
-        fix = np.zeros(W, bool)
-        fix[ids <= max(n_kf - W, 0)] = True
-        fix[0] = True
-        m = self._local_ba(
-            m, jnp.asarray(ids, jnp.int32), jnp.asarray(fix), n_iters=10
-        )
-        m = self._cull(m)
         self.map = m
+        self.kf_times.append(timestamp)
+        is_imu = self.sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO)
+        if is_imu:
+            self._finish_kf_preint(timestamp)
+
+        if is_imu and self.imu_initialized and self._vi_local_ba_step():
+            pass  # joint visual-inertial window BA ran (LocalInertialBA)
+        else:
+            # visual local BA: last LOCAL_WINDOW keyframes, oldest fixed
+            m = self.map
+            W = self.LOCAL_WINDOW
+            n_kf = int(m.n_kf)
+            ids = np.clip(np.arange(n_kf - W, n_kf), 0, n_kf - 1)
+            fix = np.zeros(W, bool)
+            fix[ids <= max(n_kf - W, 0)] = True
+            fix[0] = True
+            self.map = self._local_ba(
+                m, jnp.asarray(ids, jnp.int32), jnp.asarray(fix), n_iters=10
+            )
+        self.map = self._cull(self.map)
         self.frames_since_kf = 0
         self.last_kf_inliers = max(n_inl, 1)
-        self.kf_times.append(timestamp)
         self.bow_db = vocab_mod.add_keyframe(self.bow_db, feats.signs,
                                              feats.mask)
-        if self.sensor == Sensor.IMU_MONOCULAR:
-            self._finish_kf_preint(timestamp)
+        if is_imu:
             if (not self.imu_initialized
                     and len(self.kf_preints) >= self.VI_INIT_KFS - 1):
                 self._run_vi_init()
+            elif (self.imu_initialized
+                    and len(self.kf_preints) in self.SCALE_REFINE_AT):
+                self._refine_scale()
         if self.settings.loop_closing:
             self._try_close_loop(new_id, feats)
 
@@ -718,14 +783,16 @@ class System:
         )
         self.kf_preints.append(pre)
 
-    def _run_vi_init(self):
-        """VIBA1: inertial-only optimization with visual poses fixed, then
-        upgrade the map with the recovered scale + gravity rotation."""
+    def _inertial_window(self, max_int: Optional[int] = None):
+        """Consecutive-KF window covered by stored preintegrations: returns
+        (kf_ids, stacked preints, body R_wb, body p_wb) or None."""
         n_kf = int(self.map.n_kf)
         n_int = len(self.kf_preints)
+        if max_int is not None and n_int > max_int:
+            n_int = max_int
         k0 = n_kf - (n_int + 1)
-        if k0 < 0:
-            return
+        if k0 < 0 or n_int < 2:
+            return None
         kf_ids = np.arange(k0, n_kf)
         R_cw = np.asarray(self.map.kf_R)[kf_ids]
         t_cw = np.asarray(self.map.kf_t)[kf_ids]
@@ -738,12 +805,120 @@ class System:
         p_wc = -np.einsum("kij,kj->ki", R_wc, t_cw)
         R_wb = R_wc @ R_bc.T[None]
         p_wb = p_wc - np.einsum("kij,jl,l->ki", R_wc, R_bc.T, t_bc)
-
         pres = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *self.kf_preints
+            lambda *xs: jnp.stack(xs), *self.kf_preints[-n_int:]
         )
+        return kf_ids, pres, R_wb, p_wb
+
+    # upstream re-runs inertial-only optimization to refine scale/gravity as
+    # the trajectory accumulates excitation (InitializeIMU at ~2 s, then
+    # scale refinements around 5 s / 15 s [upstream]); we trigger on interval
+    # counts to keep jit recompiles bounded.
+    SCALE_REFINE_AT = (8, 12, 16, 24, 32, 48, 64)
+    SCALE_REFINE_MAX_INT = 24
+
+    def _refine_scale(self):
+        """Inertial-only re-estimation of residual scale/gravity over the
+        recent window; applies the correction when meaningful."""
+        win = self._inertial_window(self.SCALE_REFINE_MAX_INT)
+        if win is None:
+            return
+        kf_ids, pres, R_wb, p_wb = win
+        # biases held at the running estimates (upstream ScaleRefinement
+        # solves only scale + gravity direction)
         out = self._vi_init(
-            pres, jnp.asarray(R_wb, jnp.float32), jnp.asarray(p_wb, jnp.float32)
+            pres, jnp.asarray(R_wb, jnp.float32),
+            jnp.asarray(p_wb, jnp.float32),
+            prior_bg=1e6, prior_ba=1e10,
+            bg_center=jnp.asarray(self.bg, jnp.float32),
+            ba_center=jnp.asarray(self.ba, jnp.float32),
+        )
+        s = float(out.scale)
+        if not (0.2 < s < 5.0) or not np.isfinite(s):
+            return
+        thg = np.asarray(lie.so3_log(out.R_wg))
+        if abs(s - 1.0) < 0.01 and np.linalg.norm(thg) < 5e-3:
+            return
+        R_wg = np.asarray(out.R_wg)
+        self.map = self._apply_sim3(
+            self.map, jnp.asarray(R_wg.T, jnp.float32),
+            jnp.asarray(s, jnp.float32),
+        )
+        self.Tcw = self._pose44(self.Tcw[:3, :3] @ R_wg, self.Tcw[:3, 3] * s)
+        self.last_Tcw = self.Tcw.copy()
+        self.velocity = None
+        self.bg = np.asarray(out.bg)
+        self.ba = np.asarray(out.ba)
+        self.scale_applied *= s
+        v_opt = np.asarray(out.v) @ R_wg
+        self.kf_velocities.update(
+            {int(k): v_opt[i] for i, k in enumerate(kf_ids)}
+        )
+
+    def _vi_local_ba_step(self) -> bool:
+        """Joint visual-inertial BA over the sliding keyframe window
+        (upstream LocalInertialBA): reprojection + preintegration factors,
+        velocities/biases refined online, gravity held fixed."""
+        W = self.VI_LOCAL_WINDOW
+        n_kf = int(self.map.n_kf)
+        n_int = len(self.kf_preints)
+        if n_kf < W or n_int < W - 1:
+            return False
+        kf_ids = np.arange(n_kf - W, n_kf)
+        pres = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *self.kf_preints[-(W - 1):]
+        )
+        kR = np.asarray(self.map.kf_R)
+        kt = np.asarray(self.map.kf_t)
+        v0 = []
+        for k in kf_ids:
+            v = self.kf_velocities.get(int(k))
+            if v is None:
+                # backward difference of camera centers as the initial guess
+                k2 = int(k)
+                k1 = max(k2 - 1, 0)
+                c2 = -kR[k2].T @ kt[k2]
+                c1 = -kR[k1].T @ kt[k1]
+                dt = max(self.kf_times[k2] - self.kf_times[k1], 1e-3)
+                v = (c2 - c1) / dt
+            v0.append(np.asarray(v, np.float32))
+        fixed = np.zeros(W, bool)
+        fixed[0] = True
+        m2, v_opt, bg2, ba2, cost, _ = self._vi_ba2(
+            self.map, jnp.asarray(kf_ids, jnp.int32), jnp.asarray(fixed),
+            pres, jnp.asarray(np.stack(v0)),
+            jnp.asarray(self.bg, jnp.float32),
+            jnp.asarray(self.ba, jnp.float32),
+            opt_gravity=False,
+        )
+        if not np.isfinite(float(cost)):
+            return False
+        self.map = m2
+        self.bg = np.asarray(bg2)
+        self.ba = np.asarray(ba2)
+        v_opt = np.asarray(v_opt)
+        self.kf_velocities.update(
+            {int(k): v_opt[i] for i, k in enumerate(kf_ids)}
+        )
+        last = int(kf_ids[-1])
+        self.Tcw = self._pose44(
+            np.asarray(self.map.kf_R[last]), np.asarray(self.map.kf_t[last])
+        )
+        self.last_Tcw = self.Tcw.copy()
+        return True
+
+    def _run_vi_init(self):
+        """VIBA1: inertial-only optimization with visual poses fixed, then
+        upgrade the map with the recovered scale + gravity rotation."""
+        win = self._inertial_window()
+        if win is None:
+            return
+        kf_ids, pres, R_wb, p_wb = win
+        out = self._vi_init(
+            pres, jnp.asarray(R_wb, jnp.float32),
+            jnp.asarray(p_wb, jnp.float32),
+            # stereo(-inertial) maps are already metric: pin log s = 0
+            fix_scale=(self.sensor == Sensor.IMU_STEREO),
         )
         s = float(out.scale)
         if not (0.05 < s < 50.0) or not np.isfinite(s):
@@ -764,8 +939,44 @@ class System:
         self.scale_applied = s
         self.imu_initialized = True
         self.inertial_ba1 = True
-        # VIBA2 (joint refinement) runs as the next local BA passes over the
-        # rescaled map; flag semantics follow the fork's stage gates.
+
+        # VIBA2: joint visual-inertial refinement over the init window
+        # (upstream FullInertialBA; the fork gates it via GetInertialBA2,
+        # `src/imu_mono_realsense.cpp:491-495`). Velocities rotate with the
+        # gravity alignment: v_new = R_wg^T v_old (already metric).
+        v_new = np.asarray(out.v) @ R_wg  # == (R_wg.T @ v.T).T
+        fixed = np.zeros(len(kf_ids), bool)
+        fixed[0] = True
+        m2, v_opt, bg2, ba2, cost, thg = self._vi_ba2(
+            self.map, jnp.asarray(kf_ids, jnp.int32), jnp.asarray(fixed),
+            pres, jnp.asarray(v_new, jnp.float32),
+            jnp.asarray(self.bg, jnp.float32), jnp.asarray(self.ba, jnp.float32),
+        )
+        if np.isfinite(float(cost)):
+            self.map = m2
+            self.bg = np.asarray(bg2)
+            self.ba = np.asarray(ba2)
+            v_opt = np.asarray(v_opt)
+            # VIBA2 also refines gravity direction (VertexGDir equivalent);
+            # rotate the world so gravity is exactly -z again
+            thg = np.asarray(thg)
+            if np.linalg.norm(thg) > 1e-8:
+                R_g = np.asarray(lie.so3_exp(
+                    jnp.asarray([thg[0], thg[1], 0.0], jnp.float32)))
+                self.map = self._apply_sim3(
+                    self.map, jnp.asarray(R_g.T, jnp.float32),
+                    jnp.asarray(1.0, jnp.float32),
+                )
+                v_opt = v_opt @ R_g
+            self.kf_velocities = {
+                int(k): v_opt[i] for i, k in enumerate(kf_ids)
+            }
+            last = int(kf_ids[-1])
+            self.Tcw = self._pose44(
+                np.asarray(self.map.kf_R[last]), np.asarray(self.map.kf_t[last])
+            )
+            self.last_Tcw = self.Tcw.copy()
+            self.velocity = None
         self.inertial_ba2 = True
 
     # ------------------------------------------------------- relocalization

@@ -14,10 +14,22 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# run from anywhere without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# honor JAX_PLATFORMS even when the container pre-imports jax at interpreter
+# startup (sitecustomize registers the TPU plugin before env is consulted,
+# which silently pins the platform; the config knob still wins pre-backend)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def main():
@@ -49,22 +61,46 @@ def main():
                           record_video=args.video)
 
     est, gt = [], []
+    post_init = []  # per-tracked-frame: was the IMU initialized yet?
     t_start = time.perf_counter()
     n = 0
     if args.synthetic:
+        if "stereo" in args.mode:
+            ap.error("--synthetic supports monocular modes only "
+                     "(use tests/test_e2e_stereo.py paths for stereo)")
+        seed = 1
+        traj_scale = 1.6
         images, R_gt, t_gt, ts = synthetic.render_sequence(
             n_frames=args.max_frames or 60,
             width=session.system.cam.width,
             height=session.system.cam.height,
             fx=session.system.cam.fx, fy=session.system.cam.fy,
-            fps=session.system.cam.fps, seed=1, traj_scale=1.6,
+            fps=session.system.cam.fps, seed=seed, traj_scale=traj_scale,
         )
+        imu_t = gyro = acc = None
+        if "imu" in args.mode:
+            # consistent synthetic IMU along the same analytic trajectory
+            # (render_sequence derives its poses from seed + 3)
+            traj = synthetic.default_trajectory(seed=seed + 3,
+                                                scale=traj_scale)
+            imu_t, gyro, acc = synthetic.make_imu(
+                traj, -0.02, float(ts[-1]) + 0.01, rate=200.0,
+                gyro_noise=2e-4, acc_noise=2e-3, seed=7,
+            )
+        t_prev = -1.0
         for k in range(images.shape[0]):
-            T = session.feed(images[k], float(ts[k]))
+            imu = []
+            if imu_t is not None:
+                sel = (imu_t > t_prev) & (imu_t <= ts[k])
+                imu = [ImuPoint(acc[i], gyro[i], imu_t[i])
+                       for i in np.where(sel)[0]]
+            T = session.feed(images[k], float(ts[k]), imu)
+            t_prev = float(ts[k])
             n += 1
             if session.system.get_tracking_state().value == 1:
                 est.append(-T[:3, :3].T @ T[:3, 3])
                 gt.append(-R_gt[k].T @ t_gt[k])
+                post_init.append(session.system.is_imu_initialized())
     else:
         if not args.dataset:
             ap.error("--dataset or --synthetic required")
@@ -86,6 +122,7 @@ def main():
             if g is not None and session.system.get_tracking_state().value == 1:
                 est.append(-T[:3, :3].T @ T[:3, 3])
                 gt.append(g)
+                post_init.append(session.system.is_imu_initialized())
 
     wall = time.perf_counter() - t_start
     artifacts = session.shutdown()
@@ -98,8 +135,40 @@ def main():
         "artifacts": artifacts,
     }
     if len(est) > 10:
-        report["ate_rmse_m"] = round(
-            synthetic.ate_rmse(np.asarray(est), np.asarray(gt)), 4
+        est_a, gt_a = np.asarray(est), np.asarray(gt)
+        if "imu" in args.mode:
+            # pre-init poses live at arbitrary visual scale and are rescaled
+            # retroactively at VIBA1 (the wrapper resets its outputs on the
+            # VIBA gates the same way); score only the metric segment
+            sel = np.asarray(post_init, bool)
+            if sel.sum() > 10:
+                report["ate_rmse_m"] = round(
+                    synthetic.ate_rmse(est_a[sel], gt_a[sel]), 4
+                )
+                report["ate_frames"] = int(sel.sum())
+        else:
+            report["ate_rmse_m"] = round(synthetic.ate_rmse(est_a, gt_a), 4)
+
+    # keyframe-trajectory ATE: poses with all retroactive BA / scale / loop
+    # corrections applied (upstream's SaveKeyFrameTrajectoryTUM evaluation)
+    gt_by_t = {}
+    if args.synthetic:
+        for k in range(images.shape[0]):
+            gt_by_t[round(float(ts[k]), 6)] = -R_gt[k].T @ t_gt[k]
+    else:
+        for fr in frames:
+            g = seq.gt_at(fr.t)
+            if g is not None:
+                gt_by_t[round(fr.t, 6)] = g
+    kf_est, kf_gt = [], []
+    for t, T in session.system.get_keyframe_trajectory():
+        g = gt_by_t.get(round(t, 6))
+        if g is not None:
+            kf_est.append(-T[:3, :3].T @ T[:3, 3])
+            kf_gt.append(g)
+    if len(kf_est) > 5:
+        report["kf_ate_rmse_m"] = round(
+            synthetic.ate_rmse(np.asarray(kf_est), np.asarray(kf_gt)), 4
         )
     print(json.dumps(report, indent=2))
     return 0

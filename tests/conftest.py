@@ -20,6 +20,13 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# sitecustomize pre-imports jax (axon plugin registration) before conftest
+# runs, so the env var above can be too late; the config knob still wins as
+# long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on the CPU mesh"
+assert len(jax.devices()) == 8, "tests expect the virtual 8-device CPU mesh"
+
 # f32 matmul accuracy for oracle comparisons (default lowers precision).
 jax.config.update("jax_default_matmul_precision", "highest")
 # This box has 2 cores; persistent compilation cache makes re-runs cheap.

@@ -70,7 +70,10 @@ def _build_problem(sc, pose_noise=0.02, point_noise=0.05, seed=0):
 
 def test_ba_reduces_error():
     sc = synthetic.make_scene(n_frames=8, n_points=150, noise_px=0.3, seed=2, fps=2.0)
-    p = _build_problem(sc)
+    # start landmarks well above the estimator's noise floor so convergence
+    # towards it is measurable (floor ≈ z²σ_px/(fx·baseline) ≈ 0.05-0.06 m at
+    # z≈7 m, fx=458, σ=0.3 px — verified by a GT-initialized oracle run)
+    p = _build_problem(sc, point_noise=0.15)
     out = ba_mod.bundle_adjust(p, sc.fx, sc.fy, sc.cx, sc.cy, n_iters=12)
 
     t_err_before = np.linalg.norm(np.asarray(p.t) - sc.t_cw, axis=-1).mean()
@@ -78,8 +81,22 @@ def test_ba_reduces_error():
     assert t_err_after < t_err_before * 0.2, (t_err_before, t_err_after)
     assert t_err_after < 4e-3
 
+    X_err_before = np.linalg.norm(np.asarray(p.X) - sc.X, axis=-1).mean()
     X_err_after = np.linalg.norm(np.asarray(out.X) - sc.X, axis=-1).mean()
-    assert X_err_after < 2e-2
+    assert X_err_after < 0.4 * X_err_before, (X_err_before, X_err_after)
+    assert X_err_after < 8e-2
+
+    # the solution must be at the noise floor: re-running BA from groundtruth
+    # landmarks on the same noisy observations must not do meaningfully better
+    oracle = ba_mod.bundle_adjust(
+        p._replace(R=jnp.asarray(sc.R_cw), t=jnp.asarray(sc.t_cw),
+                   X=jnp.asarray(sc.X)),
+        sc.fx, sc.fy, sc.cx, sc.cy, n_iters=12,
+    )
+    X_err_oracle = np.linalg.norm(np.asarray(oracle.X) - sc.X, axis=-1).mean()
+    # weakly-observed landmarks sit in near-flat directions of the robust
+    # cost (identical final cost, init-dependent position), so allow margin
+    assert X_err_after < 1.4 * X_err_oracle + 1e-3, (X_err_after, X_err_oracle)
 
     # fixed poses must not move
     np.testing.assert_allclose(np.asarray(out.t[:2]), np.asarray(p.t[:2]), atol=1e-5)
