@@ -112,9 +112,8 @@ class SlamSession:
             artifacts["video"] = os.path.join(
                 self.out_dir, "video", f"{self.name}.mp4"
             )
-        if self.system.settings.save_atlas_to_file:
-            from orb_slam3_ros2_tpu.atlas.atlas import Atlas  # noqa: F401
-
-            # System-level atlas save handled by the caller (System owns maps)
+        atlas_path = self.system.save_atlas()
+        if atlas_path:
+            artifacts["atlas"] = atlas_path
         self.system.shutdown()
         return artifacts

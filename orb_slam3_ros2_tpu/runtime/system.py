@@ -30,7 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from orb_slam3_ros2_tpu.atlas import atlas as atlas_mod
 from orb_slam3_ros2_tpu.atlas import map_state as ms
+from orb_slam3_ros2_tpu.atlas import merging as merging_mod
 from orb_slam3_ros2_tpu.backend import ba as ba_mod
 from orb_slam3_ros2_tpu.backend import vi_ba as vi_ba_mod
 from orb_slam3_ros2_tpu.frontend import extractor as ex
@@ -120,6 +122,26 @@ class System:
 
         self._build_jitted()
         self.reset()
+        # Atlas resume: `System.LoadAtlasFromFile` semantics -- "if LoadFile
+        # doesn't exist ... create new Atlas from scratch"
+        # (`/root/reference/config/Stereo/EuRoC.yaml:7-13`)
+        load = self.settings.load_atlas_from_file
+        if load:
+            path = load if load.endswith(".npz") else load + ".npz"
+            import os as _os
+
+            if _os.path.isfile(path):
+                loaded = atlas_mod.Atlas.load(path)
+                if loaded.cfg == self.map_cfg:
+                    self.atlas = loaded
+                    # relocalize into the resumed map rather than re-init
+                    self.state = TrackingState.LOST
+                    # keyframe-id ↔ time bookkeeping must cover the loaded
+                    # keyframes (kf_times[k] is KF k's timestamp everywhere)
+                    self.kf_times = [
+                        float(t) for t in np.asarray(self.map.kf_time)[
+                            : int(self.map.n_kf)]
+                    ]
 
     # ------------------------------------------------------------------ setup
 
@@ -258,7 +280,7 @@ class System:
     # ------------------------------------------------------------------ state
 
     def reset(self):
-        self.map = ms.empty_map(self.map_cfg)
+        self.atlas = atlas_mod.Atlas(self.map_cfg)
         self.state = TrackingState.NOT_INITIALIZED
         self.Tcw = np.eye(4, dtype=np.float32)  # current camera pose
         self.velocity: Optional[np.ndarray] = None  # T_cur_last (4, 4)
@@ -281,12 +303,53 @@ class System:
         self.bg = np.zeros(3)
         self.ba = np.zeros(3)
         self.kf_velocities: dict = {}
+        self.v_cur: Optional[np.ndarray] = None  # current body velocity (world)
+        self.last_frame_time: Optional[float] = None
+        self._v_pred: Optional[np.ndarray] = None
         self.last_frame_feats = None
         self.scale_applied = 1.0
         # loop closing
-        self.bow_db = vocab_mod.empty_database(self.map_cfg.max_kf)
         self.n_loops_closed = 0
+        self.n_maps_merged = 0
         self.last_loop_kf = -10**9
+        self.frames_lost = 0
+
+    # ---------------------------------------------------------------- atlas
+
+    # the active map / BoW database live in the Atlas (multi-map store, E9);
+    # all engine code reads and writes through these properties
+    @property
+    def map(self) -> ms.MapState:
+        return self.atlas.current_map
+
+    @map.setter
+    def map(self, m: ms.MapState) -> None:
+        self.atlas.current_map = m
+
+    @property
+    def bow_db(self):
+        return self.atlas.current_bow
+
+    @bow_db.setter
+    def bow_db(self, db) -> None:
+        self.atlas.current_bow = db
+
+    def save_atlas(self, path: Optional[str] = None) -> Optional[str]:
+        """`System.SaveAtlasToFile` parity; returns the saved path."""
+        path = path or self.settings.save_atlas_to_file
+        if not path:
+            return None
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        self.atlas.save(path)
+        return path
+
+    def _spawn_new_map(self):
+        """Tracking irrecoverably lost: freeze the active map and start a
+        fresh one (upstream Atlas CreateNewMap on lost [upstream]). The IMU
+        calibration (biases, gravity alignment) survives the map change."""
+        self.atlas.create_new_map()
+        self._spawn_state_reset()
 
     # --------------------------------------------------------------- helpers
 
@@ -339,11 +402,12 @@ class System:
         if self.state == TrackingState.NOT_INITIALIZED:
             self._try_initialize(feats, timestamp)
         elif self.state == TrackingState.OK:
-            self._track(feats, timestamp)
+            self._track(feats, timestamp, imu=imu_measurements)
         else:
             self._relocalize(feats, timestamp)
 
         self.last_frame_feats = feats
+        self.last_frame_time = timestamp
         self.n_frames += 1
         self.trajectory.append((timestamp, self.Tcw.copy()))
         self.tracking_log.append(
@@ -386,11 +450,12 @@ class System:
         if self.state == TrackingState.NOT_INITIALIZED:
             self._initialize_stereo(feats, sm, timestamp)
         elif self.state == TrackingState.OK:
-            self._track(feats, timestamp, stereo=sm)
+            self._track(feats, timestamp, stereo=sm, imu=imu_measurements)
         else:
             self._relocalize(feats, timestamp)
 
         self.last_frame_feats = feats
+        self.last_frame_time = timestamp
         self.n_frames += 1
         self.trajectory.append((timestamp, self.Tcw.copy()))
         self.tracking_log.append(
@@ -584,8 +649,78 @@ class System:
             return self.velocity @ self.Tcw
         return self.Tcw
 
-    def _track(self, feats, timestamp: float, stereo=None):
-        T_pred = self._predict_pose()
+    def _body_center(self, Tcw: np.ndarray) -> np.ndarray:
+        """World position of the IMU body for a camera pose T_cw."""
+        Tbc = (np.asarray(self.settings.T_b_c1)
+               if self.settings.T_b_c1 is not None else np.eye(4))
+        R_bc, t_bc = Tbc[:3, :3], Tbc[:3, 3]
+        R_bw = R_bc @ Tcw[:3, :3]
+        t_bw = R_bc @ Tcw[:3, 3] + t_bc
+        return -R_bw.T @ t_bw
+
+    @staticmethod
+    def _so3_exp_np(phi: np.ndarray) -> np.ndarray:
+        th = float(np.linalg.norm(phi))
+        if th < 1e-12:
+            return np.eye(3) + System._hat_np(phi)
+        a = phi / th
+        A = System._hat_np(a)
+        return np.eye(3) + np.sin(th) * A + (1.0 - np.cos(th)) * (A @ A)
+
+    @staticmethod
+    def _hat_np(v):
+        return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]],
+                         [-v[1], v[0], 0]], float)
+
+    def _predict_pose_imu(self, imu_points, t_img: float) -> Optional[np.ndarray]:
+        """Forward-integrate gyro/accel from the last frame to predict the
+        camera pose (upstream Tracking::PredictStateIMU). Returns None when
+        prediction is unavailable (pre-init / no samples / no velocity)."""
+        if not self.imu_initialized or self.v_cur is None or not imu_points:
+            return None
+        t_prev = self.last_frame_time
+        if t_prev is None:
+            return None
+        Tbc = (np.asarray(self.settings.T_b_c1)
+               if self.settings.T_b_c1 is not None else np.eye(4))
+        R_bc, t_bc = Tbc[:3, :3], Tbc[:3, 3]
+        R_cw, t_cw = self.Tcw[:3, :3].astype(float), self.Tcw[:3, 3].astype(float)
+        R_bw = R_bc @ R_cw
+        t_bw = R_bc @ t_cw + t_bc
+        R_wb = R_bw.T
+        p_wb = -R_bw.T @ t_bw
+        v = np.asarray(self.v_cur, float).copy()
+        g = np.array([0.0, 0.0, -9.81])
+        t0 = t_prev
+        for pt in imu_points:
+            if pt.t <= t_prev or pt.t > t_img + 1e-9:
+                continue
+            dt = min(pt.t, t_img) - t0
+            if dt <= 0:
+                continue
+            w = pt.gyro - self.bg
+            a = pt.acc - self.ba
+            a_w = R_wb @ a + g
+            p_wb = p_wb + v * dt + 0.5 * a_w * dt * dt
+            v = v + a_w * dt
+            R_wb = R_wb @ self._so3_exp_np(w * dt)
+            t0 = pt.t
+        self._v_pred = v
+        R_bw = R_wb.T
+        t_bw = -R_bw @ p_wb
+        R_cw_p = R_bc.T @ R_bw
+        t_cw_p = R_bc.T @ (t_bw - t_bc)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R_cw_p
+        T[:3, 3] = t_cw_p
+        return T
+
+    def _track(self, feats, timestamp: float, stereo=None, imu=()):
+        # IMU-propagated prediction once initialized (PredictStateIMU
+        # equivalent), constant-velocity otherwise
+        T_pred = self._predict_pose_imu(list(imu), timestamp)
+        if T_pred is None:
+            T_pred = self._predict_pose()
         R_pred = jnp.asarray(T_pred[:3, :3])
         t_pred = jnp.asarray(T_pred[:3, 3])
 
@@ -627,11 +762,20 @@ class System:
                 n_inl = int(res2.n_inliers)
 
         self.map = self._bump(self.map, tm.lm_visible_inc, tm.lm_found_inc)
+        T_prev = self.Tcw
         T_new = self._pose44(np.asarray(res.R), np.asarray(res.t))
         if self.last_Tcw is not None:
             self.velocity = T_new @ np.linalg.inv(self.last_Tcw)
         self.last_Tcw = T_new
         self.Tcw = T_new
+        # body-velocity state for IMU prediction: position difference beats
+        # pure propagation (no drift accumulation)
+        if self.imu_initialized and self.last_frame_time is not None:
+            dt = timestamp - self.last_frame_time
+            if dt > 1e-6:
+                self.v_cur = (
+                    self._body_center(T_new) - self._body_center(T_prev)
+                ) / dt
         self.frames_since_kf += 1
 
         if self._need_keyframe(n_inl):
@@ -718,6 +862,11 @@ class System:
 
         Equivalent of the reference's LoopClosing thread pass per keyframe
         [upstream]; gated by the fork's `loopClosing` settings switch."""
+        # cross-map place recognition runs even for a young active map — a
+        # re-seen area should weld the maps as soon as possible [upstream]
+        if self.atlas.n_maps() > 1 and new_kf >= 2:
+            if self._try_merge_maps(new_kf, feats):
+                return
         if new_kf < self.LOOP_EXCLUDE + 2:
             return
         if new_kf - self.last_loop_kf < self.LOOP_COOLDOWN:
@@ -753,6 +902,98 @@ class System:
             self.n_loops_closed += 1
             self.last_loop_kf = new_kf
             return
+
+    MERGE_MIN_SCORE = 0.10
+
+    def _try_merge_maps(self, new_kf: int, feats) -> bool:
+        """Place-recognition hit in an old Atlas map → Sim3 → weld the active
+        map into it; the merged (old) map becomes the active one, preserving
+        trajectory recency (upstream LoopClosing::MergeLocal)."""
+        for mi in range(self.atlas.n_maps()):
+            if mi == self.atlas.active:
+                continue
+            old_map = self.atlas.maps[mi]
+            old_db = self.atlas.bow_dbs[mi]
+            if int(old_db.n) < 1:
+                continue
+            scores, ids = vocab_mod.query(
+                old_db, feats.signs, feats.mask,
+                jnp.asarray(self.map_cfg.max_kf), jnp.asarray(-1),
+                top_k=1,
+            )
+            if float(np.asarray(scores)[0]) < self.MERGE_MIN_SCORE:
+                continue
+            cand = merging_mod.detect_cross_map(
+                self.map, new_kf, old_map, int(np.asarray(ids)[0]),
+                jax.random.PRNGKey(self.n_frames + 77),
+                fix_scale=self.imu_initialized,
+            )
+            if cand is None:
+                continue
+            # Sim3 old <- active = inverse of the solved active <- old ...
+            # detect_cross_map solves x_active = s R x_old + t, but here the
+            # roles are (a = current active, b = old map): it returned
+            # x_act = s R x_oldmap + t. We weld ACTIVE into OLD, so invert:
+            s_inv = 1.0 / cand.s
+            R_inv = cand.R.T
+            t_inv = -s_inv * (R_inv @ cand.t)
+            merged, kept_kf, kf_off_slots = merging_mod.merge_maps(
+                old_map, self.map, R_inv, t_inv, s_inv, self.map_cfg,
+            )
+            # bow database: old map's rows + the active map's surviving rows
+            vecs = np.asarray(old_db.vecs).copy()
+            valid = np.asarray(old_db.valid).copy()
+            docf = np.asarray(old_db.doc_freq).copy()
+            n = int(old_db.n)
+            avecs = np.asarray(self.bow_db.vecs)
+            for i, ko in enumerate(kept_kf):
+                if n + i >= vecs.shape[0]:
+                    break
+                vecs[n + i] = avecs[ko]
+                valid[n + i] = True
+                docf += (avecs[ko] > 0).astype(np.float32)
+            new_db = vocab_mod.BowDatabase(
+                vecs=jnp.asarray(vecs), valid=jnp.asarray(valid),
+                doc_freq=jnp.asarray(docf),
+                n=jnp.asarray(min(n + len(kept_kf), vecs.shape[0]), jnp.int32),
+            )
+            # swap: merged map replaces the old map and becomes active;
+            # the previous active map is dropped (its content now lives in
+            # the merged map)
+            prev_active = self.atlas.active
+            self.atlas.maps[mi] = merged
+            self.atlas.bow_dbs[mi] = new_db
+            del self.atlas.maps[prev_active]
+            del self.atlas.bow_dbs[prev_active]
+            self.atlas.active = mi if mi < prev_active else mi - 1
+
+            # host bookkeeping: active-KF ids shifted into the merged map
+            # (kept_kf are the most recent active KFs, in order)
+            shift = kf_off_slots - (int(kept_kf[0]) if len(kept_kf) else 0)
+            self.kf_times = [
+                float(t) for t in np.asarray(merged.kf_time)[
+                    : int(merged.n_kf)]
+            ]
+            self.kf_velocities = {
+                int(k) + shift: v for k, v in self.kf_velocities.items()
+                if int(k) in set(int(x) for x in kept_kf)
+            }
+            keep_int = max(len(kept_kf) - 1, 0)
+            self.kf_preints = self.kf_preints[-keep_int:] if keep_int else []
+            # transform the live pose into the merged world
+            R_cw = self.Tcw[:3, :3]
+            t_cw = self.Tcw[:3, 3]
+            R_cw2 = R_cw @ R_inv.T
+            t_cw2 = s_inv * t_cw - R_cw2 @ t_inv
+            self.Tcw = self._pose44(R_cw2, t_cw2)
+            self.last_Tcw = self.Tcw.copy()
+            self.velocity = None
+            if self.v_cur is not None:
+                self.v_cur = s_inv * (R_inv @ np.asarray(self.v_cur))
+            self.n_maps_merged += 1
+            self.last_loop_kf = int(merged.n_kf) - 1
+            return True
+        return False
 
     # ------------------------------------------------------------------ IMU
 
@@ -900,6 +1141,7 @@ class System:
         self.kf_velocities.update(
             {int(k): v_opt[i] for i, k in enumerate(kf_ids)}
         )
+        self.v_cur = v_opt[-1]
         last = int(kf_ids[-1])
         self.Tcw = self._pose44(
             np.asarray(self.map.kf_R[last]), np.asarray(self.map.kf_t[last])
@@ -971,6 +1213,7 @@ class System:
             self.kf_velocities = {
                 int(k): v_opt[i] for i, k in enumerate(kf_ids)
             }
+            self.v_cur = v_opt[-1]
             last = int(kf_ids[-1])
             self.Tcw = self._pose44(
                 np.asarray(self.map.kf_R[last]), np.asarray(self.map.kf_t[last])
@@ -981,23 +1224,70 @@ class System:
 
     # ------------------------------------------------------- relocalization
 
+    LOST_FRAMES_NEW_MAP = 20  # ~2 s at 10 FPS before spawning a fresh map
+    MIN_KFS_KEEP_MAP = 8  # smaller lost maps are discarded, not frozen
+
     def _relocalize(self, feats, timestamp: float):
-        """Brute-force descriptor relocalization against the landmark set
-        (the reference goes through DBoW2 candidates + PnP [upstream];
-        round-1 equivalent: global gated match + pose LM from last pose)."""
-        tm = self._match_to_map(
-            self.map, feats.uv, feats.signs, feats.mask,
-            jnp.asarray(self.Tcw[:3, :3]), jnp.asarray(self.Tcw[:3, 3]),
-            radius=80.0, max_dist=45.0,
-        )
-        if int(tm.n_matches) < 25:
-            return
-        res, obs_clean = self._track_pose(
-            self.map, tm.obs_lm, feats.uv, feats.level,
-            jnp.asarray(self.Tcw[:3, :3]), jnp.asarray(self.Tcw[:3, 3]),
-        )
-        if int(res.n_inliers) >= 25:
-            self.Tcw = self._pose44(np.asarray(res.R), np.asarray(res.t))
-            self.last_Tcw = self.Tcw.copy()
-            self.velocity = None
-            self.state = TrackingState.OK
+        """Relocalization: BoW candidate keyframes first (reference DBoW2 +
+        PnP path [upstream]), brute-force projection match as fallback;
+        after LOST_FRAMES_NEW_MAP failures the Atlas spawns a new map."""
+        # candidate keyframe poses to try: BoW top hits + last known pose
+        tries = [(self.Tcw[:3, :3], self.Tcw[:3, 3], 80.0)]
+        n_kf = int(self.map.n_kf)
+        if n_kf > 0:
+            scores, ids = vocab_mod.query(
+                self.bow_db, feats.signs, feats.mask,
+                jnp.asarray(n_kf), jnp.asarray(self.map_cfg.max_kf),
+                top_k=2,
+            )
+            for rank in range(len(np.asarray(ids))):
+                if float(np.asarray(scores)[rank]) <= 0.0:
+                    continue
+                kid = int(np.asarray(ids)[rank])
+                tries.append((np.asarray(self.map.kf_R[kid]),
+                              np.asarray(self.map.kf_t[kid]), 60.0))
+        for R0, t0, radius in tries:
+            tm = self._match_to_map(
+                self.map, feats.uv, feats.signs, feats.mask,
+                jnp.asarray(R0), jnp.asarray(t0),
+                radius=radius, max_dist=45.0,
+            )
+            if int(tm.n_matches) < 25:
+                continue
+            res, obs_clean = self._track_pose(
+                self.map, tm.obs_lm, feats.uv, feats.level,
+                jnp.asarray(R0), jnp.asarray(t0),
+            )
+            if int(res.n_inliers) >= 25:
+                self.Tcw = self._pose44(np.asarray(res.R), np.asarray(res.t))
+                self.last_Tcw = self.Tcw.copy()
+                self.velocity = None
+                self.state = TrackingState.OK
+                self.frames_lost = 0
+                return
+        self.frames_lost += 1
+        if self.frames_lost >= self.LOST_FRAMES_NEW_MAP:
+            if n_kf < self.MIN_KFS_KEEP_MAP:
+                # tiny map: not worth freezing — restart it in place
+                self.atlas.current_map = ms.empty_map(self.map_cfg)
+                self.atlas.current_bow = vocab_mod.empty_database(
+                    self.map_cfg.max_kf)
+                self._spawn_state_reset()
+            else:
+                self._spawn_new_map()
+
+    def _spawn_state_reset(self):
+        self.state = TrackingState.NOT_INITIALIZED
+        self.Tcw = np.eye(4, dtype=np.float32)
+        self.velocity = None
+        self.last_Tcw = None
+        self.ref_feats = None
+        self.ref_time = None
+        self.frames_since_kf = 0
+        self.frames_lost = 0
+        self.kf_times = []
+        self.kf_preints = []
+        self.kf_velocities = {}
+        self._kf_imu_buf = []
+        self.v_cur = None
+        self.last_loop_kf = -10**9

@@ -1,0 +1,112 @@
+"""Multi-map welding: loss → new map → revisit → cross-map merge (E8/E9).
+
+Upstream behavior [LoopClosing::MergeLocal]: when place recognition matches
+the current keyframe against a non-active Atlas map, the active map is
+welded into it and the merged map becomes active. The reference surfaces the
+multi-map machinery via Atlas save/load and spawns extra maps on loss
+(`/root/reference/README.md:113-115`)."""
+
+import numpy as np
+import pytest
+
+from orb_slam3_ros2_tpu.atlas import merging, map_state as ms
+from orb_slam3_ros2_tpu.io import synthetic
+from orb_slam3_ros2_tpu.runtime.system import Sensor, System, TrackingState
+
+import os
+
+SETTINGS = os.path.join(os.path.dirname(__file__), "data", "synth_cam.yaml")
+
+
+def test_merge_maps_transform_and_capacity():
+    """merge_maps welds a Sim3-transformed map; geometry stays consistent."""
+    cfg = ms.MapConfig(max_kf=16, max_lm=256, n_feat=32)
+    rng = np.random.default_rng(0)
+
+    def mini_map(n_kf, n_lm, seed):
+        r = np.random.default_rng(seed)
+        m = ms.empty_map(cfg)
+        A = {k: np.asarray(v).copy() for k, v in m._asdict().items()}
+        for k in range(n_kf):
+            A["kf_R"][k] = np.eye(3)
+            A["kf_t"][k] = r.normal(0, 1, 3)
+            A["kf_valid"][k] = True
+            A["kf_time"][k] = float(k)
+        for l in range(n_lm):
+            A["lm_X"][l] = r.normal(0, 2, 3)
+            A["lm_valid"][l] = True
+            A["lm_n_obs"][l] = r.integers(2, 9)
+        A["n_kf"] = np.asarray(n_kf, np.int32)
+        A["n_lm"] = np.asarray(n_lm, np.int32)
+        import jax.numpy as jnp
+
+        return ms.MapState(**{k: jnp.asarray(v) for k, v in A.items()})
+
+    active = mini_map(5, 40, 1)
+    old = mini_map(6, 50, 2)
+
+    # known Sim3: x_a = s R x_o + t
+    th = 0.3
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    t = np.array([1.0, -2.0, 0.5], np.float32)
+    s = 1.5
+
+    merged, kept, off = merging.merge_maps(active, old, R, t, s, cfg)
+    assert int(merged.n_kf) == 11
+    assert off == 5
+    assert len(kept) == 6
+
+    # transported landmark positions: X' = s R X + t
+    X_o = np.asarray(old.lm_X)[:50]
+    X_exp = s * X_o @ R.T + t
+    Xm = np.asarray(merged.lm_X)
+    vm = np.asarray(merged.lm_valid)
+    assert vm.sum() == 90
+    # the old landmarks occupy the free slots 40..89 in insertion order
+    np.testing.assert_allclose(Xm[40:90], X_exp, rtol=1e-5, atol=1e-5)
+
+    # transported keyframes reproject identically: for a point visible in an
+    # old KF, camera coords scale by s (projection-invariant)
+    k_old, k_new = 2, 5 + 2
+    x_test = X_o[7]
+    xc_old = np.asarray(old.kf_R[k_old]) @ x_test + np.asarray(old.kf_t[k_old])
+    x_t = s * R @ x_test + t
+    xc_new = np.asarray(merged.kf_R[k_new]) @ x_t + np.asarray(merged.kf_t[k_new])
+    np.testing.assert_allclose(xc_new, s * xc_old, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_lost_then_revisit_welds_maps():
+    images, R_gt, t_gt, ts = synthetic.render_sequence(
+        n_frames=30, width=320, height=240, fx=260.0, fy=260.0,
+        fps=10.0, seed=1, plane_depths=(6.0, 9.0), traj_scale=1.6,
+    )
+    sys_ = System(None, SETTINGS, Sensor.MONOCULAR)
+    for k in range(images.shape[0]):
+        sys_.track_monocular(images[k], float(ts[k]))
+    assert sys_.get_tracking_state() == TrackingState.OK
+    assert sys_.atlas.n_maps() == 1
+
+    # blind the camera long enough to spawn a second map
+    rng = np.random.default_rng(0)
+    t = float(ts[-1])
+    for _ in range(sys_.LOST_FRAMES_NEW_MAP + 5):
+        t += 0.1
+        sys_.track_monocular(
+            rng.uniform(0, 255, images[0].shape).astype(np.float32), t)
+        if sys_.atlas.n_maps() > 1:
+            break
+    assert sys_.atlas.n_maps() == 2
+
+    # revisit the mapped area: new map initializes, then welds into the old
+    for k in range(images.shape[0]):
+        t += 0.1
+        sys_.track_monocular(images[k], t)
+        if sys_.n_maps_merged > 0:
+            break
+    assert sys_.n_maps_merged == 1, "revisit must weld the maps"
+    assert sys_.atlas.n_maps() == 1
+    assert sys_.get_tracking_state() == TrackingState.OK
+    # merged map carries both sessions' keyframes
+    assert int(sys_.map.n_kf) > 8
