@@ -1,9 +1,17 @@
-"""Benchmark: tracking frames/s/chip on the real TPU (+ BA iterations/s).
+"""Benchmark: tracking frames/s/chip on the real TPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline context (BASELINE.md): the reference publishes no numbers; its live
-ingest requirement is 640×480 @ 30 FPS (D435i,
+Methodology: the tracking loop runs DEVICE-RESIDENT — a `lax.scan` over a
+batch of frames, each step doing the full per-frame pipeline (8-level
+pyramid + Pallas FAST/NMS/blur kernels + ORB describe + search-by-projection
+matching against an 8192-landmark map + robust pose LM), with the pose
+chained frame-to-frame. Dispatches are also chained on a result so the
+timing cannot be satisfied by queue-ack pipelining — it is true sustained
+device throughput.
+
+Baseline context (BASELINE.md): the reference publishes no numbers; its
+live-ingest requirement is 640×480 @ 30 FPS (D435i,
 `/root/reference/launch/mapping.launch.py:85`) with the engine expected to
 track in real time on a desktop CPU. vs_baseline therefore reports our
 tracking throughput relative to that 30 FPS real-time bar.
@@ -13,17 +21,16 @@ import json
 import os
 import time
 
-import numpy as np
-
 
 def main():
-    # persistent compile cache so repeated bench runs skip the ~30 s compiles
+    # persistent compile cache so repeated bench runs skip the compiles
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("/tmp/jax_cache_bench"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
+    import numpy as np
 
     from orb_slam3_ros2_tpu.atlas import map_state as ms
     from orb_slam3_ros2_tpu.frontend import extractor as ex
@@ -52,41 +59,44 @@ def main():
         ),
     )
 
-    import jax as _jax
+    B = 32  # frames per device-resident batch
+    frames = jnp.asarray(rng.uniform(0, 255, (B, H, W)).astype(np.float32))
 
-    @_jax.jit
-    def frame_step(img, m):
-        feats = extract(img)
-        tm = trk.match_to_map(
-            m, feats.uv, feats.signs, feats.mask, jnp.eye(3), jnp.zeros(3),
-            fx, fy, cx, cy, W, H,
-        )
-        res, _ = trk.track_pose(
-            m, tm.obs_lm, feats.uv, feats.level, jnp.eye(3), jnp.zeros(3),
-            fx, fy, cx, cy,
-        )
-        return res.R, res.t, res.n_inliers
+    @jax.jit
+    def track_batch(frames, m, R0, t0):
+        def step(carry, img):
+            R, t = carry
+            feats = extract(img)
+            tm = trk.match_to_map(m, feats.uv, feats.signs, feats.mask,
+                                  R, t, fx, fy, cx, cy, W, H)
+            res, _ = trk.track_pose(m, tm.obs_lm, feats.uv, feats.level,
+                                    R, t, fx, fy, cx, cy)
+            return (res.R, res.t), res.n_inliers
+        (R, t), n_inl = jax.lax.scan(step, (R0, t0), frames)
+        return R, t, n_inl
 
-    imgs = [
-        jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
-        for _ in range(4)
-    ]
-    # warmup/compile
-    out = frame_step(imgs[0], m)
-    _jax.block_until_ready(out)
+    R0 = jnp.eye(3)
+    t0 = jnp.zeros(3)
+    out = track_batch(frames, m, R0, t0)
+    jax.block_until_ready(out)
 
-    n_iters = 60
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = frame_step(imgs[i % 4], m)
-    _jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    # chained dispatches: each batch depends on the previous result, so the
+    # measured rate is sustained end-to-end device throughput
+    n_disp = 6
+    eps = out[1]
+    t_start = time.perf_counter()
+    for _ in range(n_disp):
+        out = track_batch(frames + jnp.sum(eps) * 1e-12, m, R0, t0)
+        eps = out[1]
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t_start) / (n_disp * B)
+    fps = 1.0 / dt
 
     print(json.dumps({
         "metric": "tracking_fps_per_chip",
         "value": round(fps, 2),
-        "unit": "frames/s (752x480, 1000 ORB feats, 8 levels, full map match + pose LM)",
+        "unit": "frames/s (752x480, 1000 ORB feats, 8 levels, full map "
+                "match + pose LM; device-resident scan, chained dispatches)",
         "vs_baseline": round(fps / 30.0, 2),
     }))
 

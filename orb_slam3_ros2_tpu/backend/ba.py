@@ -24,6 +24,7 @@ by sharding K — see parallel/sharded_ba.py.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -32,7 +33,11 @@ import jax.numpy as jnp
 from orb_slam3_ros2_tpu.backend import residuals as res
 from orb_slam3_ros2_tpu.geom import lie
 
-HUBER = float(jnp.sqrt(res.CHI2_MONO))
+# math.sqrt, NOT jnp: a module-level device computation would force a
+# device->host readback at import time, which flips the remote-relay TPU
+# client into synchronous per-op dispatch (~27 ms/call) for the rest of the
+# process — measured 37 fps vs 10k+ fps on the tracking benchmark.
+HUBER = math.sqrt(res.CHI2_MONO)
 FIXED_PRIOR = 1e12  # diagonal prior that pins gauge-fixed poses
 
 

@@ -26,6 +26,7 @@ import numpy as np
 
 from orb_slam3_ros2_tpu.ops import fast as fast_ops
 from orb_slam3_ros2_tpu.ops import orb_descriptor as desc_ops
+from orb_slam3_ros2_tpu.ops import pallas_kernels as pk
 from orb_slam3_ros2_tpu.ops import pyramid as pyr_ops
 
 CELL = 32  # spatial-uniformity cell size in pixels
@@ -155,25 +156,23 @@ def make_extractor(cfg: ExtractorConfig):
 
     def extract(img: jnp.ndarray) -> Features:
         levels = pyr_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
-        uv_all, lvl_all, ang_all, sc_all, signs_all, bits_all, mask_all = (
-            [], [], [], [], [], [], []
+        uv_all, lvl_all, ang_all, sc_all, patch_all, mask_all = (
+            [], [], [], [], [], []
         )
         for lvl, (im_l, budget) in enumerate(zip(levels, budgets)):
             if budget <= 0:
                 continue
-            score = fast_ops.fast_score(im_l)
-            keep = fast_ops.nms3x3(score)
+            score, keep = pk.fast_nms(im_l)
             yx, sc, valid, subpix = _level_grid_select(
                 score, keep, cfg.ini_th_fast, cfg.min_th_fast, budget
             )
             # clamp coords (invalid entries may sit at the border)
             h, w = im_l.shape
             yx = jnp.clip(yx, EDGE, jnp.asarray([h - EDGE - 1, w - EDGE - 1]))
-            blurred = pyr_ops.gaussian_blur(im_l)
+            blurred = pk.blur7(im_l)
             patches_ori = desc_ops.gather_patches(im_l, yx)
             ang = desc_ops.orientations(patches_ori)
             patches_desc = desc_ops.gather_patches(blurred, yx)
-            signs, bits = desc_ops.describe(patches_desc, ang)
 
             s = scales[lvl]
             uv = jnp.stack(
@@ -185,17 +184,22 @@ def make_extractor(cfg: ExtractorConfig):
             lvl_all.append(jnp.full((budget,), lvl, dtype=jnp.int32))
             ang_all.append(ang)
             sc_all.append(sc)
-            signs_all.append(signs)
-            bits_all.append(bits)
+            patch_all.append(patches_desc)
             mask_all.append(valid)
+
+        # one describe call over all levels: the angle-binned BRIEF weight
+        # matrix is read from HBM once per frame instead of once per level
+        angle = jnp.concatenate(ang_all, axis=0)
+        patches = jnp.concatenate(patch_all, axis=0)
+        signs, bits = desc_ops.describe(patches, angle)
 
         return Features(
             uv=jnp.concatenate(uv_all, axis=0),
             level=jnp.concatenate(lvl_all, axis=0),
-            angle=jnp.concatenate(ang_all, axis=0),
+            angle=angle,
             score=jnp.concatenate(sc_all, axis=0),
-            signs=jnp.concatenate(signs_all, axis=0),
-            bits=jnp.concatenate(bits_all, axis=0),
+            signs=signs,
+            bits=bits,
             mask=jnp.concatenate(mask_all, axis=0),
         )
 

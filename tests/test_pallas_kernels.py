@@ -1,0 +1,69 @@
+"""Pallas fused frontend kernels vs the jnp oracle (interpret mode on CPU).
+
+The kernels must match ops/fast.py + ops/pyramid.py exactly on the interior
+(the ≤3-px border is padding-dependent and masked by the extractor's EDGE
+margin; see ops/pallas_kernels.py docstring).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_ros2_tpu.ops import fast as fast_ops
+from orb_slam3_ros2_tpu.ops import pallas_kernels as pk
+from orb_slam3_ros2_tpu.ops import pyramid as pyr_ops
+
+
+def _img(h=96, w=160, seed=0):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w), np.float32)
+    for _ in range(25):
+        y, x = rng.integers(5, h - 15), rng.integers(5, w - 15)
+        bh, bw = rng.integers(4, 12, size=2)
+        img[y : y + bh, x : x + bw] = rng.uniform(30, 250)
+    img += rng.normal(0, 1.5, size=img.shape)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def test_fast_nms_kernel_matches_jnp_oracle():
+    img = jnp.asarray(_img())
+    score_ref = np.asarray(fast_ops.fast_score(img))
+    keep_ref = np.asarray(fast_ops.nms3x3(fast_ops.fast_score(img)))
+    score, keep = pk.fast_nms(img, interpret=True)
+    score, keep = np.asarray(score), np.asarray(keep)
+    B = 4  # border slack: zero- vs wrap-padding differs only within 3 px
+    np.testing.assert_allclose(
+        score[B:-B, B:-B], score_ref[B:-B, B:-B], atol=1e-4
+    )
+    np.testing.assert_array_equal(keep[B:-B, B:-B], keep_ref[B:-B, B:-B])
+
+
+def test_blur_kernel_matches_jnp_oracle_interior():
+    img = jnp.asarray(_img(seed=1))
+    ref = np.asarray(pyr_ops.gaussian_blur(img))
+    out = np.asarray(pk.blur7(img, interpret=True))
+    np.testing.assert_allclose(out[4:-4, 4:-4], ref[4:-4, 4:-4], rtol=1e-5,
+                               atol=1e-3)
+
+
+def test_binned_describe_close_to_exact():
+    """TPU binned-matmul BRIEF must stay within a few bits of the exact
+    per-keypoint steering (bounds the cross-platform descriptor drift)."""
+    from orb_slam3_ros2_tpu.ops import orb_descriptor as desc_ops
+
+    rng = np.random.default_rng(7)
+    n = 128
+    patches = jnp.asarray(
+        rng.uniform(0, 255, (n, desc_ops.PATCH, desc_ops.PATCH))
+        .astype(np.float32)
+    )
+    # smooth the patches like the real pipeline (blurred input)
+    patches = jnp.asarray(
+        np.stack([np.asarray(pyr_ops.gaussian_blur(p)) for p in patches])
+    )
+    angles = jnp.asarray(rng.uniform(-np.pi, np.pi, n).astype(np.float32))
+    s_exact, b_exact = desc_ops.describe(patches, angles, binned=False)
+    s_binned, b_binned = desc_ops.describe(patches, angles, binned=True)
+    ham = 0.5 * (256.0 - np.einsum("nq,nq->n", np.asarray(s_exact),
+                                   np.asarray(s_binned)))
+    assert ham.mean() < 12.0, f"mean binned-vs-exact Hamming {ham.mean():.1f}"
+    assert np.median(ham) < 12.0
