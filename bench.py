@@ -62,13 +62,17 @@ def main():
     B = 32  # frames per device-resident batch
     frames = jnp.asarray(rng.uniform(0, 255, (B, H, W)).astype(np.float32))
 
+    from orb_slam3_ros2_tpu.ops import orb_descriptor as desc_ops
+    lm_signs = desc_ops.signs_from_bits(m.lm_bits)  # loop-invariant, cached
+
     @jax.jit
-    def track_batch(frames, m, R0, t0):
+    def track_batch(frames, m, lm_signs, R0, t0):
         def step(carry, img):
             R, t = carry
             feats = extract(img)
             tm = trk.match_to_map(m, feats.uv, feats.signs, feats.mask,
-                                  R, t, fx, fy, cx, cy, W, H)
+                                  R, t, fx, fy, cx, cy, W, H,
+                                  lm_signs=lm_signs)
             res, _ = trk.track_pose(m, tm.obs_lm, feats.uv, feats.level,
                                     R, t, fx, fy, cx, cy)
             return (res.R, res.t), res.n_inliers
@@ -77,7 +81,7 @@ def main():
 
     R0 = jnp.eye(3)
     t0 = jnp.zeros(3)
-    out = track_batch(frames, m, R0, t0)
+    out = track_batch(frames, m, lm_signs, R0, t0)
     jax.block_until_ready(out)
 
     # chained dispatches: each batch depends on the previous result, so the
@@ -86,7 +90,7 @@ def main():
     eps = out[1]
     t_start = time.perf_counter()
     for _ in range(n_disp):
-        out = track_batch(frames + jnp.sum(eps) * 1e-12, m, R0, t0)
+        out = track_batch(frames + jnp.sum(eps) * 1e-12, m, lm_signs, R0, t0)
         eps = out[1]
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t_start) / (n_disp * B)

@@ -21,7 +21,7 @@ SURVEY.md §7 hard part 3) and calls into:
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -67,10 +67,18 @@ def match_to_map(
     fx, fy, cx, cy, width, height,
     radius: float = 15.0,
     max_dist: float = 50.0,
+    lm_signs: Optional[jnp.ndarray] = None,
 ) -> TrackMatch:
-    """Search-by-projection against the whole landmark array (dense masked)."""
+    """Search-by-projection against the whole landmark array (dense masked).
+
+    Pass `lm_signs` (precomputed ±1 form of m.lm_bits) when calling inside a
+    device-resident loop — the unpack is loop-invariant but XLA does not
+    hoist it out of `lax.scan`, and recomputing it per frame measurably
+    slows the step.
+    """
     lm_uv, lm_vis = project_map(m, R_pred, t_pred, fx, fy, cx, cy, width, height)
-    lm_signs = desc_ops.signs_from_bits(m.lm_bits)
+    if lm_signs is None:
+        lm_signs = desc_ops.signs_from_bits(m.lm_bits)
 
     gate = matcher.window_gate(feat_uv, lm_uv, radius)  # (N, L) feature vs lm
     res = matcher.match(
