@@ -168,6 +168,125 @@ def add_landmarks(
     )
 
 
+def recount_observations(m: MapState) -> MapState:
+    """Recompute lm_n_obs exactly from the association table (used after
+    compaction / fusion so counters never drift)."""
+    L = m.lm_valid.shape[0]
+    has = (m.kf_obs_lm >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    obs_safe = jnp.where(has, m.kf_obs_lm, L)
+    n_obs = jnp.zeros((L,), jnp.int32).at[obs_safe.reshape(-1)].add(
+        1, mode="drop"
+    )
+    return m._replace(lm_n_obs=n_obs)
+
+
+def dedupe_observations(m: MapState) -> MapState:
+    """Enforce the one-observation-per-(keyframe, landmark) invariant: when
+    several features of one keyframe point at the same landmark (possible
+    after landmark merging — upstream MapPoint::Replace erases the duplicate
+    observation), keep the lowest feature index and null the rest."""
+    K, N = m.kf_obs_lm.shape
+    L = m.lm_valid.shape[0]
+    has = (m.kf_obs_lm >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    obs_safe = jnp.where(has, m.kf_obs_lm, L)
+    feat_idx = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[None, :], (K, N)
+    )
+    winner = jnp.full((K, L + 1), N, jnp.int32).at[
+        jnp.arange(K)[:, None], obs_safe
+    ].min(feat_idx)
+    keep = has & (
+        winner[jnp.arange(K)[:, None], obs_safe] == feat_idx
+    )
+    obs = jnp.where(keep, m.kf_obs_lm, -1)
+    return recount_observations(m._replace(kf_obs_lm=obs))
+
+
+def compact_landmarks(m: MapState):
+    """Reclaim slots of invalidated landmarks (the reference deletes culled
+    MapPoints outright [upstream MapPointCulling]; our fixed-capacity arrays
+    compact instead — valid landmarks move to the front, preserving order).
+
+    Returns (m2, remap) where remap: (L,) int32 maps old slot -> new slot
+    (-1 for dropped). All kf_obs_lm associations are rewritten through it.
+    """
+    L = m.lm_valid.shape[0]
+    keep = m.lm_valid
+    perm = jnp.argsort(~keep, stable=True)  # kept slots first, stable
+    n_keep = jnp.sum(keep).astype(jnp.int32)
+    new_valid = jnp.arange(L) < n_keep
+    # remap[old] = new position if kept else -1
+    remap = jnp.full((L,), -1, jnp.int32).at[perm].set(
+        jnp.where(new_valid, jnp.arange(L, dtype=jnp.int32), -1)
+    )
+    obs = m.kf_obs_lm
+    obs_new = jnp.where(obs >= 0, remap[jnp.where(obs >= 0, obs, 0)], -1)
+    m2 = m._replace(
+        lm_X=m.lm_X[perm],
+        lm_valid=new_valid,
+        lm_bits=m.lm_bits[perm],
+        lm_ref_kf=m.lm_ref_kf[perm],
+        lm_n_obs=jnp.where(new_valid, m.lm_n_obs[perm], 0),
+        lm_found=jnp.where(new_valid, m.lm_found[perm], 1),
+        lm_visible=jnp.where(new_valid, m.lm_visible[perm], 1),
+        kf_obs_lm=obs_new,
+        n_lm=n_keep,
+    )
+    return m2, remap
+
+
+def compact_keyframes(m: MapState, keep: jnp.ndarray):
+    """Drop keyframes where `keep` is False and compact the survivors to the
+    front (the reference's KeyFrameCulling erase [upstream]; see
+    `keyframe_redundancy` for the policy). Landmark observation counts are
+    recomputed; landmarks are NOT invalidated here (callers cull separately).
+
+    Returns (m2, remap) with remap: (K,) old kf id -> new id (-1 dropped).
+    """
+    K = m.kf_valid.shape[0]
+    keep = keep & m.kf_valid
+    perm = jnp.argsort(~keep, stable=True)
+    n_keep = jnp.sum(keep).astype(jnp.int32)
+    new_valid = jnp.arange(K) < n_keep
+    remap = jnp.full((K,), -1, jnp.int32).at[perm].set(
+        jnp.where(new_valid, jnp.arange(K, dtype=jnp.int32), -1)
+    )
+    ref = m.lm_ref_kf
+    ref_new = remap[jnp.clip(ref, 0, K - 1)]
+    m2 = m._replace(
+        kf_R=m.kf_R[perm],
+        kf_t=m.kf_t[perm],
+        kf_valid=new_valid,
+        kf_time=jnp.where(new_valid, m.kf_time[perm], 0.0),
+        kf_uv=m.kf_uv[perm],
+        kf_level=m.kf_level[perm],
+        kf_bits=m.kf_bits[perm],
+        kf_feat_valid=m.kf_feat_valid[perm] & new_valid[:, None],
+        kf_obs_lm=jnp.where(new_valid[:, None], m.kf_obs_lm[perm], -1),
+        # a culled reference keyframe degrades to "oldest survivor" (id 0)
+        lm_ref_kf=jnp.where(ref_new >= 0, ref_new, 0),
+        n_kf=n_keep,
+    )
+    return recount_observations(m2), remap
+
+
+def keyframe_redundancy(m: MapState, min_obs: int = 4) -> jnp.ndarray:
+    """Per-keyframe redundancy score: fraction of its associated landmarks
+    that are observed by >= min_obs keyframes (the reference culls local
+    keyframes whose points are 90% covered by >= 3 other keyframes
+    [upstream KeyFrameCulling]). Returns (K,) float32 in [0, 1]."""
+    L = m.lm_valid.shape[0]
+    has = (m.kf_obs_lm >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    obs_safe = jnp.where(has, m.kf_obs_lm, 0)
+    lm_ok = m.lm_valid[obs_safe] & has
+    n_obs = m.lm_n_obs[obs_safe]
+    covered = jnp.sum((n_obs >= min_obs) & lm_ok, axis=1)
+    total = jnp.sum(lm_ok, axis=1)
+    return covered.astype(jnp.float32) / jnp.maximum(
+        total.astype(jnp.float32), 1.0
+    )
+
+
 def observation_table(m: MapState, kf_ids: jnp.ndarray):
     """Build the dense BA observation layout for a set of keyframes.
 

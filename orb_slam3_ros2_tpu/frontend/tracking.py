@@ -266,6 +266,108 @@ def local_ba(
     return m._replace(kf_R=kf_R, kf_t=kf_t, lm_X=lm_X)
 
 
+def fuse_map_points(
+    m: ms.MapState,
+    kf_id: jnp.ndarray,  # () int32 — keyframe to fuse into (usually newest)
+    fx, fy, cx, cy, width, height,
+    radius: float = 4.0,
+    max_dist: float = 45.0,
+    merge_max_dist: float = 30.0,
+    merge_rel_3d: float = 0.02,
+):
+    """SearchAndFuse: project the map into keyframe `kf_id`, match features
+    by descriptor within a tight window, and (a) adopt landmarks for
+    unassociated features, (b) merge duplicate landmarks when a feature's
+    existing association disagrees with the projection match — keeping the
+    landmark with more observations (reference `ORBmatcher::Fuse` +
+    `MapPoint::Replace` [upstream], run by LocalMapping per new keyframe).
+
+    Returns (m2, n_adopted, n_merged).
+    """
+    R, t = m.kf_R[kf_id], m.kf_t[kf_id]
+    lm_uv, lm_vis = project_map(m, R, t, fx, fy, cx, cy, width, height)
+    feat_uv = m.kf_uv[kf_id]
+    feat_valid = m.kf_feat_valid[kf_id]
+    signs = desc_ops.signs_from_bits(m.kf_bits[kf_id])
+    lm_signs = desc_ops.signs_from_bits(m.lm_bits)
+    gate = matcher.window_gate(feat_uv, lm_uv, radius)
+    # no ratio test / no mutual check: the Fuse pass must let a feature match
+    # a landmark whose descriptor duplicates its current association — that
+    # tie IS the merge signal (upstream ORBmatcher::Fuse uses plain TH_LOW)
+    res = matcher.match(
+        signs, feat_valid, lm_signs, lm_vis,
+        max_dist=max_dist, ratio=None, gate=gate, mutual=False,
+    )
+    lm_match = res.idx  # (N,) matched landmark per feature, -1 = none
+    cur = m.kf_obs_lm[kf_id]
+    L = m.lm_valid.shape[0]
+
+    # (a) adopt: feature had no landmark, projection match found one — but
+    # never a landmark this keyframe already observes through another
+    # feature (upstream Fuse skips MapPoints with IsInKeyFrame(pKF))
+    match_safe0 = jnp.clip(lm_match, 0, L - 1)
+    already = jnp.zeros((L,), bool).at[
+        jnp.where(cur >= 0, cur, L)
+    ].set(True, mode="drop")
+    adopt = (lm_match >= 0) & (cur < 0) & ~already[match_safe0]
+    row_obs = jnp.where(adopt, lm_match, cur)
+
+    # (b) merge: feature already bound to a different landmark — the two
+    # landmarks are duplicates of the same 3-D point. Merging is destructive,
+    # so it takes stricter guards than adoption (upstream Fuse demands a
+    # chi-square reprojection check and scale consistency before Replace):
+    # near-identical descriptors AND 3-D proximity relative to scene depth.
+    conflict = (lm_match >= 0) & (cur >= 0) & (lm_match != cur)
+    conflict &= res.dist <= merge_max_dist
+    cur_safe = jnp.clip(cur, 0, L - 1)
+    match_safe = jnp.clip(lm_match, 0, L - 1)
+    d3 = jnp.linalg.norm(m.lm_X[cur_safe] - m.lm_X[match_safe], axis=-1)
+    depth = (m.lm_X[cur_safe] @ R.T + t)[:, 2]
+    conflict &= d3 <= merge_rel_3d * jnp.maximum(depth, 1e-3)
+    a = jnp.where(conflict, lm_match, 0)
+    b = jnp.where(conflict, cur, 0)
+    keep_a = m.lm_n_obs[a] >= m.lm_n_obs[b]
+    keep_lm = jnp.where(keep_a, a, b)
+    drop_lm = jnp.where(keep_a, b, a)
+    # one-step remap table old -> merged (chains collapse conservatively:
+    # associations landing on a dropped landmark are nulled below)
+    remap = jnp.arange(L, dtype=jnp.int32).at[
+        jnp.where(conflict, drop_lm, L)
+    ].set(jnp.where(conflict, keep_lm, 0), mode="drop")
+    lm_valid = m.lm_valid.at[jnp.where(conflict, drop_lm, L)].set(
+        False, mode="drop"
+    )
+
+    obs_all = m.kf_obs_lm.at[kf_id].set(row_obs)
+    obs_safe = jnp.clip(obs_all, 0, L - 1)
+    obs_r = jnp.where(obs_all >= 0, remap[obs_safe], -1)
+    # null dangling associations (dropped target that was itself merged away)
+    obs_r = jnp.where(
+        (obs_r >= 0) & lm_valid[jnp.clip(obs_r, 0, L - 1)], obs_r, -1
+    )
+    m2 = m._replace(kf_obs_lm=obs_r, lm_valid=lm_valid)
+    # merging can leave two features of one KF on the same surviving
+    # landmark — drop the duplicates (includes recount)
+    m2 = ms.dedupe_observations(m2)
+    return m2, jnp.sum(adopt).astype(jnp.int32), jnp.sum(conflict).astype(
+        jnp.int32
+    )
+
+
+def global_ba(
+    m: ms.MapState,
+    fx, fy, cx, cy,
+    n_iters: int = 10,
+) -> ms.MapState:
+    """Full-map bundle adjustment over every valid keyframe (the reference's
+    `GlobalBundleAdjustemnt` run by LoopClosing after a loop correction
+    [upstream]); first keyframe fixed as the gauge anchor."""
+    K = m.kf_valid.shape[0]
+    ids = jnp.arange(K, dtype=jnp.int32)
+    fix = jnp.zeros((K,), bool).at[0].set(True)
+    return local_ba(m, ids, fix, fx, fy, cx, cy, n_iters=n_iters)
+
+
 def cull_landmarks(
     m: ms.MapState,
     min_found_ratio: float = 0.25,

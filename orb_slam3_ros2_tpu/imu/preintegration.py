@@ -138,6 +138,50 @@ def preintegrate(gyro, acc, dts, mask, bg=None, ba=None,
     return integrate(pre, gyro, acc, dts, mask, noise_gyro, noise_acc)
 
 
+def merge(pre1: Preintegrated, pre2: Preintegrated) -> Preintegrated:
+    """Compose two consecutive preintegrated intervals into one.
+
+    Used when a redundant keyframe between the intervals is culled — the
+    equivalent of the reference engine's `IMU::Preintegrated::MergePrevious`
+    [upstream]. First-order composition of deltas, bias Jacobians, and noise
+    covariance; the result is linearized at `pre1`'s biases (callers keep
+    consecutive intervals at the same running bias estimate).
+    """
+    dR1, dv1, dp1, dt2 = pre1.dR, pre1.dv, pre1.dp, pre2.dt
+    # deltas
+    dR = dR1 @ pre2.dR
+    dv = dv1 + dR1 @ pre2.dv
+    dp = dp1 + dv1 * dt2 + dR1 @ pre2.dp
+    # bias Jacobians: perturb bg/ba through both intervals
+    # dR(b+δ) ≈ dR exp((dR2ᵀ JRg1 + JRg2) δ)
+    JRg = pre2.dR.T @ pre1.JRg + pre2.JRg
+    # exp(JRg1 δ) x ≈ x - hat(x) JRg1 δ
+    Jvg = pre1.Jvg + dR1 @ pre2.Jvg - dR1 @ lie.hat(pre2.dv) @ pre1.JRg
+    Jva = pre1.Jva + dR1 @ pre2.Jva
+    Jpg = (pre1.Jpg + pre1.Jvg * dt2 + dR1 @ pre2.Jpg
+           - dR1 @ lie.hat(pre2.dp) @ pre1.JRg)
+    Jpa = pre1.Jpa + pre1.Jva * dt2 + dR1 @ pre2.Jpa
+    # covariance: δ_combined = A1 δ1 + A2 δ2 for state (δφ, δv, δp)
+    I3 = jnp.eye(3)
+    Z3 = jnp.zeros((3, 3))
+    A1 = jnp.block([
+        [pre2.dR.T, Z3, Z3],
+        [-dR1 @ lie.hat(pre2.dv), I3, Z3],
+        [-dR1 @ lie.hat(pre2.dp), I3 * dt2, I3],
+    ])
+    A2 = jnp.block([
+        [I3, Z3, Z3],
+        [Z3, dR1, Z3],
+        [Z3, Z3, dR1],
+    ])
+    cov = A1 @ pre1.cov @ A1.T + A2 @ pre2.cov @ A2.T
+    return Preintegrated(
+        dR=dR, dv=dv, dp=dp, dt=pre1.dt + dt2,
+        JRg=JRg, Jvg=Jvg, Jva=Jva, Jpg=Jpg, Jpa=Jpa,
+        cov=cov, bg=pre1.bg, ba=pre1.ba,
+    )
+
+
 def bias_corrected(pre: Preintegrated, bg: jnp.ndarray, ba: jnp.ndarray):
     """First-order bias-corrected deltas at new biases (bg, ba)."""
     dbg = bg - pre.bg

@@ -52,7 +52,7 @@ def match(
     signs_b: jnp.ndarray,
     mask_b: jnp.ndarray,
     max_dist: float = 50.0,
-    ratio: float = 0.9,
+    ratio: Optional[float] = 0.9,
     gate: Optional[jnp.ndarray] = None,
     angles_a: Optional[jnp.ndarray] = None,
     angles_b: Optional[jnp.ndarray] = None,
@@ -63,6 +63,9 @@ def match(
 
     gate: optional (N, M) bool — True where the pair is allowed (search
     window / epipolar / grid gating). All tests are masked-dense.
+    ratio: best/second-best acceptance ratio; None disables the test (the
+    reference's Fuse path accepts any best under TH_LOW so duplicate
+    descriptors can still match [upstream ORBmatcher::Fuse]).
     """
     d = hamming_matrix(signs_a, signs_b)
     allowed = mask_a[:, None] & mask_b[None, :]
@@ -72,10 +75,11 @@ def match(
 
     best_idx = jnp.argmin(d, axis=1)
     best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
-    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(INF)
-    second = jnp.min(d2, axis=1)
-
-    ok = (best <= max_dist) & (best < ratio * second) & mask_a
+    ok = (best <= max_dist) & mask_a
+    if ratio is not None:
+        d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(INF)
+        second = jnp.min(d2, axis=1)
+        ok &= best < ratio * second
 
     if mutual:
         # B's best must point back to A

@@ -84,7 +84,7 @@ class SlamSession:
         path = path or os.path.join(self.out_dir, f"{self.name}_traj.txt")
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            for t, T in self.system.get_trajectory():
+            for t, T in self.system.get_frame_trajectory():
                 R, tt = T[:3, :3], T[:3, 3]
                 # camera center + world-from-camera quaternion
                 c = -R.T @ tt

@@ -203,6 +203,20 @@ class System:
         self._cull = jax.jit(trk.cull_landmarks)
         self._insert_kf = jax.jit(ms.insert_keyframe)
         self._add_lms = jax.jit(ms.add_landmarks)
+        self._fuse = jax.jit(
+            functools.partial(
+                trk.fuse_map_points, fx=fx, fy=fy, cx=cx, cy=cy,
+                width=W, height=H,
+            )
+        )
+        self._global_ba = jax.jit(
+            functools.partial(trk.global_ba, fx=fx, fy=fy, cx=cx, cy=cy),
+            static_argnames=("n_iters",),
+        )
+        self._compact_lms = jax.jit(ms.compact_landmarks)
+        self._compact_kfs = jax.jit(ms.compact_keyframes)
+        self._kf_redundancy = jax.jit(ms.keyframe_redundancy)
+        self._merge_pre = jax.jit(pre_mod.merge)
 
         @jax.jit
         def bump_counters(m, vis_inc, found_inc):
@@ -292,6 +306,14 @@ class System:
         self.n_frames = 0
         self.trajectory: List[Tuple[float, np.ndarray]] = []
         self.tracking_log: List[dict] = []
+        # per-frame reference-keyframe record (ref KF timestamp, ref KF pose
+        # in the map AT TRACK TIME) — get_frame_trajectory() re-expresses
+        # each frame relative to this and composes with the ref KF's final
+        # pose, the reference's SaveTrajectoryTUM protocol (mlRelativeFrame-
+        # Poses stores Tcr against the track-time reference pose [upstream]).
+        # Captured at track time (not KF-insertion time) so retroactive
+        # VIBA/loop rescaling between insertions cannot mix scales.
+        self.frame_refs: List[Tuple[Optional[float], Optional[np.ndarray]]] = []
         # IMU
         self.imu_initialized = False
         self.inertial_ba1 = False
@@ -410,6 +432,7 @@ class System:
         self.last_frame_time = timestamp
         self.n_frames += 1
         self.trajectory.append((timestamp, self.Tcw.copy()))
+        self.frame_refs.append(self._current_frame_ref())
         self.tracking_log.append(
             {
                 "t": timestamp,
@@ -458,6 +481,7 @@ class System:
         self.last_frame_time = timestamp
         self.n_frames += 1
         self.trajectory.append((timestamp, self.Tcw.copy()))
+        self.frame_refs.append(self._current_frame_ref())
         self.tracking_log.append(
             {"t": timestamp, "state": int(self.state),
              "ms": (_time.perf_counter() - t0) * 1e3}
@@ -542,6 +566,44 @@ class System:
 
     def get_trajectory(self):
         return list(self.trajectory)
+
+    def _current_frame_ref(self):
+        """Latest keyframe's (timestamp, current map pose) — the reference
+        pose a frame's relative transform is stored against."""
+        if not self.kf_times or int(self.map.n_kf) == 0:
+            return (None, None)
+        k = min(len(self.kf_times), int(self.map.n_kf)) - 1
+        return (
+            self.kf_times[k],
+            self._pose44(np.asarray(self.map.kf_R[k]),
+                         np.asarray(self.map.kf_t[k])),
+        )
+
+    def get_frame_trajectory(self):
+        """(t, T_cw 4x4) per tracked frame with retroactive corrections:
+        each frame's track-time pose is re-expressed relative to its
+        reference keyframe's pose AT TRACK TIME and composed with that
+        keyframe's FINAL pose from the current map, so frames inherit
+        BA / loop-closing / IMU-scale corrections — the reference's
+        `SaveTrajectoryTUM` export semantics (mlRelativeFramePoses stores
+        Tcr against the track-time reference [upstream]). Frames whose
+        reference keyframe no longer survives (culled / other map) fall
+        back to their raw online pose."""
+        kf_final = {}
+        for t, T in self.get_keyframe_trajectory():
+            kf_final[round(t, 9)] = T
+        out = []
+        for (t, T_online), (ref_t, ref_T) in zip(self.trajectory,
+                                                 self.frame_refs):
+            T_final = (
+                kf_final.get(round(ref_t, 9)) if ref_t is not None else None
+            )
+            if ref_T is None or T_final is None:
+                out.append((t, T_online.copy()))
+                continue
+            T_rel = T_online @ np.linalg.inv(ref_T)
+            out.append((t, (T_rel @ T_final).astype(np.float32)))
+        return out
 
     def get_keyframe_trajectory(self):
         """(t, T_cw 4x4) per keyframe from the *current* map — i.e. with all
@@ -816,6 +878,9 @@ class System:
             self.map = m
             self._insert_keyframe_stereo_landmarks(feats, stereo, new_id)
             m = self.map
+        # SearchAndFuse: adopt map points for unmatched features and merge
+        # duplicate landmarks against the new keyframe (upstream LocalMapping)
+        m, _, _ = self._fuse(m, jnp.asarray(new_id, jnp.int32))
         self.map = m
         self.kf_times.append(timestamp)
         is_imu = self.sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO)
@@ -841,6 +906,9 @@ class System:
         self.last_kf_inliers = max(n_inl, 1)
         self.bow_db = vocab_mod.add_keyframe(self.bow_db, feats.signs,
                                              feats.mask)
+        kf_remap = self._maybe_compact()
+        if kf_remap is not None:
+            new_id = int(kf_remap[new_id])
         if is_imu:
             if (not self.imu_initialized
                     and len(self.kf_preints) >= self.VI_INIT_KFS - 1):
@@ -850,6 +918,128 @@ class System:
                 self._refine_scale()
         if self.settings.loop_closing:
             self._try_close_loop(new_id, feats)
+        # adopt the new keyframe's BA-refined pose as the current frame pose
+        # (our mapping step is synchronous, so the refinement is available
+        # immediately — it seeds the next frame's motion model and keeps the
+        # frame's exported pose consistent with its reference keyframe)
+        m = self.map
+        n_kf = int(m.n_kf)
+        if 0 <= new_id < n_kf:
+            self.Tcw = self._pose44(
+                np.asarray(m.kf_R[new_id]), np.asarray(m.kf_t[new_id])
+            )
+
+    # ------------------------------------------------------- map maintenance
+
+    LM_COMPACT_FRAC = 0.90  # landmark-slot occupancy that triggers compaction
+    KF_CULL_HEADROOM = 3  # free keyframe slots to maintain
+    KF_PROTECT_RECENT = 12  # newest keyframes never culled (covers the local
+    # BA window, the VI window, and the loop-closing exclusion zone)
+    KF_REDUNDANT_TH = 0.8  # redundancy score above which a KF is expendable
+
+    def _maybe_compact(self):
+        """Slot lifecycle: reclaim culled-landmark slots and cull redundant
+        keyframes when capacities near exhaustion. The reference engine
+        deletes MapPoints/KeyFrames from its pointer graph continuously
+        [upstream MapPointCulling / KeyFrameCulling]; with fixed-capacity
+        arrays we compact in batch instead — rare, so the host-side
+        bookkeeping cost is amortized. Returns the keyframe remap (old id ->
+        new id, -1 dropped) if keyframes moved, else None."""
+        m = self.map
+        if int(m.n_lm) > self.LM_COMPACT_FRAC * self.map_cfg.max_lm:
+            m, _ = self._compact_lms(m)
+            self.map = m
+        if int(m.n_kf) >= self.map_cfg.max_kf - self.KF_CULL_HEADROOM:
+            return self._cull_keyframes()
+        return None
+
+    def _cull_keyframes(self):
+        """Pick expendable keyframes (most-redundant first, oldest-decimation
+        fallback), compact them out, and remap all host-side bookkeeping."""
+        m = self.map
+        n_kf = int(m.n_kf)
+        protect_n = max(self.KF_PROTECT_RECENT, self.LOCAL_WINDOW,
+                        self.VI_LOCAL_WINDOW + 1)
+        if n_kf <= protect_n + 2:
+            return None
+        scores = np.asarray(self._kf_redundancy(m))[:n_kf]
+        protect = np.zeros(n_kf, bool)
+        protect[:2] = True  # gauge anchors / map origin
+        protect[n_kf - protect_n:] = True
+        target_free = max(self.map_cfg.max_kf // 8, 4)
+        cand = sorted(
+            ((scores[k], k) for k in range(n_kf)
+             if not protect[k] and scores[k] >= self.KF_REDUNDANT_TH),
+            reverse=True,
+        )
+        cull = set(k for _, k in cand[:target_free])
+        if len(cull) < target_free:
+            # not enough redundancy: decimate the oldest unprotected stretch
+            # (keeps temporal spread — bounded-budget SLAM practice)
+            for k in range(2, n_kf - protect_n, 2):
+                if k not in cull:
+                    cull.add(k)
+                    if len(cull) >= target_free:
+                        break
+        if not cull:
+            return None
+        keep = np.ones(self.map_cfg.max_kf, bool)
+        for k in cull:
+            keep[k] = False
+        m2, remap = self._compact_kfs(m, jnp.asarray(keep))
+        remap_np = np.asarray(remap)
+        self.map = m2
+        self._remap_host_kf_state(remap_np, n_kf)
+        return remap_np
+
+    def _remap_host_kf_state(self, remap: np.ndarray, old_n_kf: int):
+        """Rewrite host bookkeeping (times, BoW rows, velocities, loop ids,
+        inter-KF preintegrations) after a keyframe compaction."""
+        kept = [k for k in range(old_n_kf) if remap[k] >= 0]
+        self.kf_times = [self.kf_times[k] for k in kept
+                         if k < len(self.kf_times)]
+        # BoW database rows follow keyframe slots
+        db = self.bow_db
+        vecs = np.asarray(db.vecs)
+        new_vecs = np.zeros_like(vecs)
+        new_valid = np.zeros(vecs.shape[0], bool)
+        for k in kept:
+            nk = int(remap[k])
+            new_vecs[nk] = vecs[k]
+            new_valid[nk] = True
+        doc_freq = (new_vecs > 0).sum(axis=0).astype(np.float32)
+        self.bow_db = vocab_mod.BowDatabase(
+            vecs=jnp.asarray(new_vecs), valid=jnp.asarray(new_valid),
+            doc_freq=jnp.asarray(doc_freq),
+            n=jnp.asarray(len(kept), jnp.int32),
+        )
+        self.kf_velocities = {
+            int(remap[k]): v for k, v in self.kf_velocities.items()
+            if 0 <= int(k) < old_n_kf and remap[int(k)] >= 0
+        }
+        if 0 <= self.last_loop_kf < old_n_kf:
+            r = int(remap[self.last_loop_kf])
+            self.last_loop_kf = r if r >= 0 else -10**9
+        # inter-KF preintegrations: preints[i] covers the interval ending at
+        # old KF (old_n_kf - len + i). Merge segments spanning culled KFs
+        # (IMU::Preintegrated::MergePrevious equivalent); a gap before
+        # preintegration started truncates the list head (tail stays aligned
+        # with the newest keyframes, which is all the VI windows consume).
+        n_pre = len(self.kf_preints)
+        if n_pre:
+            end2pre = {old_n_kf - n_pre + i: p
+                       for i, p in enumerate(self.kf_preints)}
+            new_pre = []
+            for a, b in zip(kept[:-1], kept[1:]):
+                segs = [end2pre.get(e) for e in range(a + 1, b + 1)]
+                if any(s is None for s in segs):
+                    new_pre = []
+                    continue
+                p = segs[0]
+                for s in segs[1:]:
+                    p = self._merge_pre(p, s)
+                new_pre.append(p)
+            self.kf_preints = new_pre
 
     # ------------------------------------------------------------ loop close
 
@@ -892,6 +1082,12 @@ class System:
             self.map = closing_mod.close_loop(
                 self.map, new_kf, cand, fix_scale=self.imu_initialized
             )
+            # global BA polish after the pose-graph correction (upstream
+            # RunGlobalBundleAdjustment; skipped in inertial mode, where the
+            # rolling local inertial BA re-converges the welded map and a
+            # vision-only GBA would fight the gravity/scale states)
+            if not self.imu_initialized:
+                self.map = self._global_ba(self.map, n_iters=8)
             # current pose snaps to the corrected keyframe pose
             self.Tcw = self._pose44(
                 np.asarray(self.map.kf_R[new_kf]),

@@ -60,8 +60,12 @@ def main():
                           output_name=args.output_name,
                           record_video=args.video)
 
-    est, gt = [], []
-    post_init = []  # per-tracked-frame: was the IMU initialized yet?
+    # tracked-frame records keyed by rounded timestamp:
+    # (gt camera center, was the IMU initialized yet?). The estimated poses
+    # are pulled AFTER the run from get_frame_trajectory(), which applies
+    # retroactive BA / loop / scale corrections through each frame's
+    # reference keyframe (upstream SaveTrajectoryTUM evaluation protocol).
+    ok_by_t = {}
     t_start = time.perf_counter()
     n = 0
     if args.synthetic:
@@ -94,13 +98,14 @@ def main():
                 sel = (imu_t > t_prev) & (imu_t <= ts[k])
                 imu = [ImuPoint(acc[i], gyro[i], imu_t[i])
                        for i in np.where(sel)[0]]
-            T = session.feed(images[k], float(ts[k]), imu)
+            session.feed(images[k], float(ts[k]), imu)
             t_prev = float(ts[k])
             n += 1
             if session.system.get_tracking_state().value == 1:
-                est.append(-T[:3, :3].T @ T[:3, 3])
-                gt.append(-R_gt[k].T @ t_gt[k])
-                post_init.append(session.system.is_imu_initialized())
+                ok_by_t[round(float(ts[k]), 6)] = (
+                    -R_gt[k].T @ t_gt[k],
+                    session.system.is_imu_initialized(),
+                )
     else:
         if not args.dataset:
             ap.error("--dataset or --synthetic required")
@@ -115,17 +120,25 @@ def main():
             if "imu" in args.mode and t_prev is not None:
                 tt, gg, aa = seq.imu_between(t_prev, fr.t)
                 imu = [ImuPoint(a, g, t) for t, g, a in zip(tt, gg, aa)]
-            T = session.system.track_monocular(fr.load(), fr.t, imu)
+            session.system.track_monocular(fr.load(), fr.t, imu)
             t_prev = fr.t
             n += 1
             g = seq.gt_at(fr.t)
             if g is not None and session.system.get_tracking_state().value == 1:
-                est.append(-T[:3, :3].T @ T[:3, 3])
-                gt.append(g)
-                post_init.append(session.system.is_imu_initialized())
+                ok_by_t[round(fr.t, 6)] = (
+                    g, session.system.is_imu_initialized()
+                )
 
     wall = time.perf_counter() - t_start
     artifacts = session.shutdown()
+    est, gt, post_init = [], [], []
+    for t, T in session.system.get_frame_trajectory():
+        rec = ok_by_t.get(round(t, 6))
+        if rec is None:
+            continue
+        est.append(-T[:3, :3].T @ T[:3, 3])
+        gt.append(rec[0])
+        post_init.append(rec[1])
     report = {
         "frames": n,
         "fps": round(n / wall, 2),
