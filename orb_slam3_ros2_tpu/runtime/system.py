@@ -162,6 +162,57 @@ class System:
 
         self._undistort = undistort
 
+        # stereo observation builders (both produce StereoObs). The general
+        # two-view path serves non-rectified rigs (KannalaBrandt8 fisheye /
+        # distorted PinHole with `Stereo.T_c1_c2`, e.g.
+        # `/root/reference/config/Stereo/TUM-VI.yaml:8,34-41`); the
+        # rectified-scanline path serves `Camera.type: "Rectified"` rigs with
+        # only `Stereo.b` (`config/Stereo/RealSense_D435i.yaml:8-16`).
+        from orb_slam3_ros2_tpu.frontend import stereo as stereo_mod
+
+        cam2 = self.settings.camera2
+        if cam2 is not None and self.settings.T_c1_c2 is not None:
+            T12 = np.asarray(self.settings.T_c1_c2, np.float64)
+            R12 = jnp.asarray(T12[:3, :3])
+            t12 = jnp.asarray(T12[:3, 3])
+            self.stereo_baseline = float(np.linalg.norm(T12[:3, 3]))
+
+            @jax.jit
+            def stereo_obs(uv_l, signs_l, mask_l, lvl_l,
+                           uv_r, signs_r, mask_r, lvl_r):
+                # left uv are already undistorted pinhole pixels -> K^-1;
+                # right uv are RAW detections -> full camera-2 unprojection
+                rays_l = jnp.stack(
+                    [(uv_l[:, 0] - cx) / fx, (uv_l[:, 1] - cy) / fy,
+                     jnp.ones_like(uv_l[:, 0])], axis=-1,
+                )
+                rays_r = cam_mod.unproject(cam2, uv_r)
+                return stereo_mod.match_stereo_general(
+                    rays_l, signs_l, mask_l, lvl_l,
+                    rays_r, signs_r, mask_r, lvl_r,
+                    R12, t12, scale_factor=sf,
+                )
+
+            self._stereo_obs = stereo_obs
+            self._stereo_right_raw = True
+        else:
+            b = self.settings.stereo_b or cam.baseline or 0.05
+            self.stereo_baseline = float(b)
+
+            @jax.jit
+            def stereo_obs(uv_l, signs_l, mask_l, lvl_l,
+                           uv_r, signs_r, mask_r, lvl_r):
+                sm = stereo_mod.match_stereo(
+                    uv_l, signs_l, mask_l, lvl_l,
+                    uv_r, signs_r, mask_r, lvl_r, fx, b,
+                )
+                return stereo_mod.obs_from_rectified(
+                    sm, uv_l, fx, fy, cx, cy
+                )
+
+            self._stereo_obs = stereo_obs
+            self._stereo_right_raw = False
+
         @jax.jit
         def match_frames(signs_a, mask_a, signs_b, mask_b):
             return matcher.match(
@@ -451,10 +502,10 @@ class System:
     ) -> np.ndarray:
         """Stereo per-frame entry point (upstream `TrackStereo`; stereo
         configs exist in the snapshot, `config/Stereo/*`). Landmarks are
-        spawned at metric depth from rectified scanline matches, so no
+        spawned at metric depth — from rectified scanline matches
+        (`Camera.type: "Rectified"`) or general two-view triangulation under
+        `Stereo.T_c1_c2` (KannalaBrandt8 / distorted PinHole rigs) — so no
         two-view initialization is needed and scale is observable."""
-        from orb_slam3_ros2_tpu.frontend import stereo as stereo_mod
-
         t0 = _time.perf_counter()
         if self.sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO):
             self.imu_queue.extend(imu_measurements)
@@ -463,11 +514,13 @@ class System:
         img_l = self._preprocess(im_left)
         img_r = self._preprocess(im_right)
         feats = self._extract_undistorted(img_l)
-        feats_r = self._extract_undistorted(img_r)
-        sm = stereo_mod.match_stereo(
+        # general path consumes RAW right detections (camera-2 unprojection
+        # happens inside); rectified path wants undistorted pixels
+        feats_r = (self._extract(img_r) if self._stereo_right_raw
+                   else self._extract_undistorted(img_r))
+        sm = self._stereo_obs(
             feats.uv, feats.signs, feats.mask, feats.level,
             feats_r.uv, feats_r.signs, feats_r.mask, feats_r.level,
-            self.cam.fx, self.settings.stereo_b or self.cam.baseline or 0.05,
         )
 
         if self.state == TrackingState.NOT_INITIALIZED:
@@ -489,8 +542,6 @@ class System:
         return self.Tcw.copy()
 
     def _initialize_stereo(self, feats, sm, timestamp: float):
-        from orb_slam3_ros2_tpu.frontend import stereo as stereo_mod
-
         n_depth = int(np.asarray((sm.valid & feats.mask).sum()))
         if n_depth < 80:
             return
@@ -501,10 +552,7 @@ class System:
             feats.uv, feats.level, feats.bits, feats.mask,
             jnp.full((N,), -1, jnp.int32),
         )
-        X = stereo_mod.backproject(
-            feats.uv, sm.depth, self.cam.fx, self.cam.fy, self.cam.cx,
-            self.cam.cy,
-        )
+        X = sm.X_cam
         accept = sm.valid & feats.mask
         m = self._add_lms(
             m, X, feats.bits, accept, jnp.asarray(0, jnp.int32),
@@ -522,14 +570,9 @@ class System:
     def _insert_keyframe_stereo_landmarks(self, feats, sm, new_id: int):
         """Spawn metric landmarks for stereo-matched features that tracking
         did not associate to the map."""
-        from orb_slam3_ros2_tpu.frontend import stereo as stereo_mod
-
         m = self.map
         N = feats.uv.shape[0]
-        X_cam = stereo_mod.backproject(
-            feats.uv, sm.depth, self.cam.fx, self.cam.fy, self.cam.cx,
-            self.cam.cy,
-        )
+        X_cam = sm.X_cam
         R = jnp.asarray(self.Tcw[:3, :3])
         t = jnp.asarray(self.Tcw[:3, 3])
         Rw, tw = lie.se3_inverse(R, t)
