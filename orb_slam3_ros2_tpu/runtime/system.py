@@ -44,6 +44,7 @@ from orb_slam3_ros2_tpu.imu import vi_init as vii
 from orb_slam3_ros2_tpu.io import settings as settings_mod
 from orb_slam3_ros2_tpu.loop import closing as closing_mod
 from orb_slam3_ros2_tpu.loop import vocab as vocab_mod
+from orb_slam3_ros2_tpu.utils import tracing
 from orb_slam3_ros2_tpu.models import cameras as cam_mod
 from orb_slam3_ros2_tpu.ops import matcher
 
@@ -357,6 +358,9 @@ class System:
         self.n_frames = 0
         self.trajectory: List[Tuple[float, np.ndarray]] = []
         self.tracking_log: List[dict] = []
+        # per-stage wall-clock tracer (SURVEY §5: the reference ships no
+        # tracing; frames/s & BA-time counters are north-star metrics here)
+        self.tracer = tracing.StageTracer()
         # per-frame reference-keyframe record (ref KF timestamp, ref KF pose
         # in the map AT TRACK TIME) — get_frame_trajectory() re-expresses
         # each frame relative to this and composes with the ref KF's final
@@ -470,7 +474,8 @@ class System:
             self._kf_imu_buf.extend(imu_measurements)
 
         img = self._preprocess(im)
-        feats = self._extract_undistorted(img)
+        with self.tracer.stage("extract"):
+            feats = self._extract_undistorted(img)
 
         if self.state == TrackingState.NOT_INITIALIZED:
             self._try_initialize(feats, timestamp)
@@ -513,15 +518,18 @@ class System:
 
         img_l = self._preprocess(im_left)
         img_r = self._preprocess(im_right)
-        feats = self._extract_undistorted(img_l)
-        # general path consumes RAW right detections (camera-2 unprojection
-        # happens inside); rectified path wants undistorted pixels
-        feats_r = (self._extract(img_r) if self._stereo_right_raw
-                   else self._extract_undistorted(img_r))
-        sm = self._stereo_obs(
-            feats.uv, feats.signs, feats.mask, feats.level,
-            feats_r.uv, feats_r.signs, feats_r.mask, feats_r.level,
-        )
+        with self.tracer.stage("extract"):
+            feats = self._extract_undistorted(img_l)
+            # general path consumes RAW right detections (camera-2
+            # unprojection happens inside); rectified path wants
+            # undistorted pixels
+            feats_r = (self._extract(img_r) if self._stereo_right_raw
+                       else self._extract_undistorted(img_r))
+        with self.tracer.stage("stereo_match"):
+            sm = self._stereo_obs(
+                feats.uv, feats.signs, feats.mask, feats.level,
+                feats_r.uv, feats_r.signs, feats_r.mask, feats_r.level,
+            )
 
         if self.state == TrackingState.NOT_INITIALIZED:
             self._initialize_stereo(feats, sm, timestamp)
@@ -823,48 +831,53 @@ class System:
     def _track(self, feats, timestamp: float, stereo=None, imu=()):
         # IMU-propagated prediction once initialized (PredictStateIMU
         # equivalent), constant-velocity otherwise
-        T_pred = self._predict_pose_imu(list(imu), timestamp)
-        if T_pred is None:
-            T_pred = self._predict_pose()
+        with self.tracer.stage("predict"):
+            T_pred = self._predict_pose_imu(list(imu), timestamp)
+            if T_pred is None:
+                T_pred = self._predict_pose()
         R_pred = jnp.asarray(T_pred[:3, :3])
         t_pred = jnp.asarray(T_pred[:3, 3])
 
-        tm = self._match_to_map(
-            self.map, feats.uv, feats.signs, feats.mask, R_pred, t_pred,
-        )
-        n_match = int(tm.n_matches)
-        if n_match < self.MIN_TRACK_INLIERS:
-            # widen the search once (reference doubles the window on failure)
+        with self.tracer.stage("match"):
             tm = self._match_to_map(
                 self.map, feats.uv, feats.signs, feats.mask, R_pred, t_pred,
-                radius=30.0,
             )
             n_match = int(tm.n_matches)
+            if n_match < self.MIN_TRACK_INLIERS:
+                # widen the search once (reference doubles the window on
+                # failure)
+                tm = self._match_to_map(
+                    self.map, feats.uv, feats.signs, feats.mask, R_pred,
+                    t_pred, radius=30.0,
+                )
+                n_match = int(tm.n_matches)
         if n_match < self.MIN_TRACK_INLIERS:
             self.state = TrackingState.LOST
             return
 
-        res, obs_clean = self._track_pose(
-            self.map, tm.obs_lm, feats.uv, feats.level, R_pred, t_pred
-        )
-        n_inl = int(res.n_inliers)
+        with self.tracer.stage("pose_opt"):
+            res, obs_clean = self._track_pose(
+                self.map, tm.obs_lm, feats.uv, feats.level, R_pred, t_pred
+            )
+            n_inl = int(res.n_inliers)
         if n_inl < self.MIN_TRACK_INLIERS:
             self.state = TrackingState.LOST
             return
 
         # second stage (reference's TrackLocalMap): re-match at the optimized
         # pose with a tight window, then refine once more
-        tm2 = self._match_to_map(
-            self.map, feats.uv, feats.signs, feats.mask, res.R, res.t,
-            radius=7.0,
-        )
-        if int(tm2.n_matches) >= n_inl:
-            res2, obs2 = self._track_pose(
-                self.map, tm2.obs_lm, feats.uv, feats.level, res.R, res.t
+        with self.tracer.stage("track_local_map"):
+            tm2 = self._match_to_map(
+                self.map, feats.uv, feats.signs, feats.mask, res.R, res.t,
+                radius=7.0,
             )
-            if int(res2.n_inliers) >= n_inl:
-                res, obs_clean, tm = res2, obs2, tm2
-                n_inl = int(res2.n_inliers)
+            if int(tm2.n_matches) >= n_inl:
+                res2, obs2 = self._track_pose(
+                    self.map, tm2.obs_lm, feats.uv, feats.level, res.R, res.t
+                )
+                if int(res2.n_inliers) >= n_inl:
+                    res, obs_clean, tm = res2, obs2, tm2
+                    n_inl = int(res2.n_inliers)
 
         self.map = self._bump(self.map, tm.lm_visible_inc, tm.lm_found_inc)
         T_prev = self.Tcw
@@ -884,8 +897,9 @@ class System:
         self.frames_since_kf += 1
 
         if self._need_keyframe(n_inl):
-            self._insert_keyframe(feats, obs_clean, timestamp, n_inl,
-                                  stereo=stereo)
+            with self.tracer.stage("insert_kf"):
+                self._insert_keyframe(feats, obs_clean, timestamp, n_inl,
+                                      stereo=stereo)
 
     def _need_keyframe(self, n_inl: int) -> bool:
         if int(self.map.n_kf) >= self.map_cfg.max_kf - 1:
@@ -930,20 +944,22 @@ class System:
         if is_imu:
             self._finish_kf_preint(timestamp)
 
-        if is_imu and self.imu_initialized and self._vi_local_ba_step():
-            pass  # joint visual-inertial window BA ran (LocalInertialBA)
-        else:
-            # visual local BA: last LOCAL_WINDOW keyframes, oldest fixed
-            m = self.map
-            W = self.LOCAL_WINDOW
-            n_kf = int(m.n_kf)
-            ids = np.clip(np.arange(n_kf - W, n_kf), 0, n_kf - 1)
-            fix = np.zeros(W, bool)
-            fix[ids <= max(n_kf - W, 0)] = True
-            fix[0] = True
-            self.map = self._local_ba(
-                m, jnp.asarray(ids, jnp.int32), jnp.asarray(fix), n_iters=10
-            )
+        with self.tracer.stage("local_ba"):
+            if is_imu and self.imu_initialized and self._vi_local_ba_step():
+                pass  # joint visual-inertial window BA ran (LocalInertialBA)
+            else:
+                # visual local BA: last LOCAL_WINDOW keyframes, oldest fixed
+                m = self.map
+                W = self.LOCAL_WINDOW
+                n_kf = int(m.n_kf)
+                ids = np.clip(np.arange(n_kf - W, n_kf), 0, n_kf - 1)
+                fix = np.zeros(W, bool)
+                fix[ids <= max(n_kf - W, 0)] = True
+                fix[0] = True
+                self.map = self._local_ba(
+                    m, jnp.asarray(ids, jnp.int32), jnp.asarray(fix),
+                    n_iters=10,
+                )
         self.map = self._cull(self.map)
         self.frames_since_kf = 0
         self.last_kf_inliers = max(n_inl, 1)
@@ -960,7 +976,8 @@ class System:
                     and len(self.kf_preints) in self.SCALE_REFINE_AT):
                 self._refine_scale()
         if self.settings.loop_closing:
-            self._try_close_loop(new_id, feats)
+            with self.tracer.stage("loop_closing"):
+                self._try_close_loop(new_id, feats)
         # adopt the new keyframe's BA-refined pose as the current frame pose
         # (our mapping step is synchronous, so the refinement is available
         # immediately — it seeds the next frame's motion model and keeps the

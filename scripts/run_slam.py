@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--output-name", default=None)
     ap.add_argument("--video", action="store_true")
+    ap.add_argument("--profile", action="store_true",
+                    help="include per-stage wall-clock stats in the report")
+    ap.add_argument("--jax-profile", metavar="LOGDIR",
+                    help="capture a jax.profiler device trace to LOGDIR")
     args = ap.parse_args()
 
     from orb_slam3_ros2_tpu.io import synthetic
@@ -66,6 +70,13 @@ def main():
     # retroactive BA / loop / scale corrections through each frame's
     # reference keyframe (upstream SaveTrajectoryTUM evaluation protocol).
     ok_by_t = {}
+    import contextlib
+
+    prof_ctx = contextlib.ExitStack()
+    if args.jax_profile:
+        from orb_slam3_ros2_tpu.utils import tracing as tracing_mod
+
+        prof_ctx.enter_context(tracing_mod.capture(args.jax_profile))
     t_start = time.perf_counter()
     n = 0
     if args.synthetic:
@@ -129,6 +140,7 @@ def main():
                     g, session.system.is_imu_initialized()
                 )
 
+    prof_ctx.close()
     wall = time.perf_counter() - t_start
     artifacts = session.shutdown()
     est, gt, post_init = [], [], []
@@ -183,6 +195,8 @@ def main():
         report["kf_ate_rmse_m"] = round(
             synthetic.ate_rmse(np.asarray(kf_est), np.asarray(kf_gt)), 4
         )
+    if args.profile:
+        report["stages"] = session.system.tracer.report()
     print(json.dumps(report, indent=2))
     return 0
 
