@@ -50,6 +50,42 @@ def _edge_residual_tangent(xi_i, xi_j, Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
     return _edge_residual(Ri2, ti2, si2, Rj2, tj2, sj2, Rm, tm, sm)
 
 
+def edge_terms(R, t, s, edges_i, edges_j, R_meas, t_meas, s_meas):
+    """Residual + both pose-block Jacobians for every edge.
+
+    Returns r (E, 7), Ji (E, 7, 7), Jj (E, 7, 7) — exact via jacfwd over the
+    14 tangent coords (no hand-derived Sim3 adjoints to get wrong)."""
+    zero14 = jnp.zeros(14)
+
+    def per_edge(ei, ej, Rm, tm, sm):
+        def f(xi):
+            return _edge_residual_tangent(
+                xi[:7], xi[7:], R[ei], t[ei], s[ei], R[ej], t[ej], s[ej],
+                Rm, tm, sm,
+            )
+        r = f(zero14)
+        J = jax.jacfwd(f)(zero14)  # (7, 14)
+        return r, J[:, :7], J[:, 7:]
+
+    return jax.vmap(per_edge)(edges_i, edges_j, R_meas, t_meas, s_meas)
+
+
+def assemble_system(K, edges_i, edges_j, r, Ji, Jj, w_e):
+    """Scatter-add the weighted 7x7 edge blocks into dense H (K,7,K,7) and
+    b (K,7). Pure accumulation — safe to run per edge shard and psum."""
+    H = jnp.zeros((K, 7, K, 7))
+    b = jnp.zeros((K, 7))
+    wJi = Ji * w_e[:, None, None]
+    wJj = Jj * w_e[:, None, None]
+    H = H.at[edges_i, :, edges_i, :].add(jnp.einsum("eai,eaj->eij", wJi, Ji))
+    H = H.at[edges_j, :, edges_j, :].add(jnp.einsum("eai,eaj->eij", wJj, Jj))
+    H = H.at[edges_i, :, edges_j, :].add(jnp.einsum("eai,eaj->eij", wJi, Jj))
+    H = H.at[edges_j, :, edges_i, :].add(jnp.einsum("eai,eaj->eij", wJj, Ji))
+    b = b.at[edges_i].add(jnp.einsum("eai,ea->ei", wJi, r))
+    b = b.at[edges_j].add(jnp.einsum("eai,ea->ei", wJj, r))
+    return H, b
+
+
 def optimize_pose_graph(
     R: jnp.ndarray,  # (K, 3, 3) Sim3 poses S_iw (world-to-frame, like T_cw)
     t: jnp.ndarray,  # (K, 3)
@@ -69,40 +105,13 @@ def optimize_pose_graph(
     E = edges_i.shape[0]
     w_e = (edge_valid.astype(jnp.float32)
            if edge_weight is None else edge_weight * edge_valid)
-    zero14 = jnp.zeros(14)
 
     def gn_step(carry, _):
         R, t, s, lam = carry
-
-        def per_edge(ei, ej, Rm, tm, sm):
-            def f(xi):
-                return _edge_residual_tangent(
-                    xi[:7], xi[7:], R[ei], t[ei], s[ei], R[ej], t[ej], s[ej],
-                    Rm, tm, sm,
-                )
-            r = f(zero14)
-            J = jax.jacfwd(f)(zero14)  # (7, 14)
-            return r, J[:, :7], J[:, 7:]
-
-        r, Ji, Jj = jax.vmap(per_edge)(edges_i, edges_j, R_meas, t_meas, s_meas)
+        r, Ji, Jj = edge_terms(R, t, s, edges_i, edges_j,
+                               R_meas, t_meas, s_meas)
         cost0 = jnp.sum(w_e * jnp.sum(r * r, axis=-1))
-
-        # assemble dense H (K,7,K,7), b (K,7) by scatter-add of edge blocks
-        H = jnp.zeros((K, 7, K, 7))
-        b = jnp.zeros((K, 7))
-        wJi = Ji * w_e[:, None, None]
-        H = H.at[edges_i, :, edges_i, :].add(
-            jnp.einsum("eai,eaj->eij", wJi, Ji))
-        H = H.at[edges_j, :, edges_j, :].add(
-            jnp.einsum("eai,eaj->eij", Jj * w_e[:, None, None], Jj))
-        H = H.at[edges_i, :, edges_j, :].add(
-            jnp.einsum("eai,eaj->eij", wJi, Jj))
-        H = H.at[edges_j, :, edges_i, :].add(
-            jnp.einsum("eai,eaj->eij", Jj * w_e[:, None, None], Ji))
-        b = b.at[edges_i].add(jnp.einsum("eai,ea->ei", wJi, r))
-        b = b.at[edges_j].add(
-            jnp.einsum("eai,ea->ei", Jj * w_e[:, None, None], r))
-
+        H, b = assemble_system(K, edges_i, edges_j, r, Ji, Jj, w_e)
         Hf = H.reshape(K * 7, K * 7)
         diag_scale = lam * jnp.abs(jnp.diag(Hf))
         prior = jnp.repeat(jnp.where(fixed, 1e12, 1e-8), 7)
