@@ -91,8 +91,8 @@ def load_sequence(root: str, stereo: bool = False) -> EurocSequence:
         frames.append(Frame(t=t, path=p, path_right=pr))
 
     imu_path = os.path.join(mav, "imu0", "data.csv")
-    if os.path.isfile(imu_path):
-        arr = np.asarray(_read_csv(imu_path), dtype=np.float64)
+    if os.path.isfile(imu_path) and (rows := _read_csv(imu_path)):
+        arr = np.asarray(rows, dtype=np.float64)
         imu_t = arr[:, 0] * 1e-9
         imu_gyro = arr[:, 1:4]
         imu_acc = arr[:, 4:7]

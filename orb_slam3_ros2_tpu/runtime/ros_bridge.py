@@ -101,6 +101,66 @@ if HAVE_ROS:  # pragma: no cover - requires a ROS 2 environment
             msg.pose.pose.position.z = float(c[2])
             self.odom_pub.publish(msg)
 
+    class CameraInfoNode(Node):
+        """`orb_camera_info_node` equivalent: CameraInfo from the settings
+        YAML at ~33 ms (`src/orb_camera_info.cpp:16-39`)."""
+
+        def __init__(self, settings_path: str,
+                     topic: str = "orb_camera_info"):
+            super().__init__("orb_camera_info")
+            from sensor_msgs.msg import CameraInfo as CameraInfoMsg  # type: ignore
+
+            from orb_slam3_ros2_tpu.runtime.cam_source import (
+                camera_info_from_settings,
+            )
+
+            info = camera_info_from_settings(settings_path)
+            msg = CameraInfoMsg()
+            msg.width, msg.height = info.width, info.height
+            msg.distortion_model = info.distortion_model
+            msg.d = [float(v) for v in info.d]
+            msg.k = [float(v) for v in info.k.ravel()]
+            msg.r = [float(v) for v in info.r.ravel()]
+            msg.p = [float(v) for v in info.p.ravel()]
+            self._msg = msg
+            self._pub = self.create_publisher(CameraInfoMsg, topic, 10)
+            self.create_timer(0.033, self._tick)
+
+        def _tick(self):
+            self._msg.header.stamp = self.get_clock().now().to_msg()
+            self._pub.publish(self._msg)
+
+    class CloudRepublisherNode(Node):
+        """`visualize_node` equivalent: load `output/<name>/cloud/<name>.pcd`
+        and republish at 1 Hz (`src/visualize.cpp:51-77`)."""
+
+        def __init__(self, output_name: str, output_root: str = "output"):
+            super().__init__("visualize")
+            import os
+
+            from orb_slam3_ros2_tpu.runtime.outputs import load_pcd
+
+            path = os.path.join(output_root, output_name, "cloud",
+                                f"{output_name}.pcd")
+            self._pts = load_pcd(path).astype(np.float32)
+            self._pub = self.create_publisher(PointCloud2, "full_cloud", 10)
+            self.create_timer(1.0, self._tick)
+
+        def _tick(self):
+            msg = PointCloud2()
+            msg.header.frame_id = "map"
+            msg.header.stamp = self.get_clock().now().to_msg()
+            msg.height, msg.width = 1, self._pts.shape[0]
+            msg.fields = [
+                PointField(name=n, offset=4 * i,
+                           datatype=PointField.FLOAT32, count=1)
+                for i, n in enumerate("xyz")
+            ]
+            msg.point_step, msg.row_step = 12, 12 * self._pts.shape[0]
+            msg.is_dense = True
+            msg.data = self._pts.tobytes()
+            self._pub.publish(msg)
+
     def main(args=None):  # pragma: no cover
         import sys
 

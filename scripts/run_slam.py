@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--dataset", help="EuRoC-layout sequence root")
     ap.add_argument("--synthetic", action="store_true",
                     help="run on a rendered synthetic sequence")
+    ap.add_argument("--camera", default=None,
+                    help="live source for cv2.VideoCapture: RTSP URL, "
+                         "device index, or video file (cam_node.py path)")
+    ap.add_argument("--record", metavar="DIR", default=None,
+                    help="tee the input stream to an EuRoC-layout recording "
+                         "(ros2 bag record equivalent; replay via --dataset)")
     ap.add_argument("--mode", default="monocular",
                     choices=["monocular", "imu_monocular", "stereo",
                              "imu_stereo"])
@@ -63,6 +69,12 @@ def main():
     session = SlamSession(args.settings, sensor,
                           output_name=args.output_name,
                           record_video=args.video)
+
+    recorder = None
+    if args.record:
+        from orb_slam3_ros2_tpu.io.recording import SequenceRecorder
+
+        recorder = SequenceRecorder(args.record, stereo="stereo" in args.mode)
 
     # tracked-frame records keyed by rounded timestamp:
     # (gt camera center, was the IMU initialized yet?). The estimated poses
@@ -109,6 +121,11 @@ def main():
                 sel = (imu_t > t_prev) & (imu_t <= ts[k])
                 imu = [ImuPoint(acc[i], gyro[i], imu_t[i])
                        for i in np.where(sel)[0]]
+            if recorder is not None:
+                recorder.add_frame(images[k], float(ts[k]))
+                for p in imu:
+                    recorder.add_imu(p.t, p.gyro, p.acc)
+                recorder.add_groundtruth(float(ts[k]), -R_gt[k].T @ t_gt[k])
             session.feed(images[k], float(ts[k]), imu)
             t_prev = float(ts[k])
             n += 1
@@ -117,9 +134,26 @@ def main():
                     -R_gt[k].T @ t_gt[k],
                     session.system.is_imu_initialized(),
                 )
+    elif args.camera is not None:
+        # live ingest (cam_node.py path): RTSP / device index / video file
+        from orb_slam3_ros2_tpu.runtime import cam_source as cs
+
+        info = cs.camera_info_from_settings(args.settings)
+        src = args.camera
+        if src.isdigit():
+            src = int(src)
+        cam = cs.OpenCVCameraSource(src, info)
+        for img, t in cam.frames():
+            if args.max_frames and n >= args.max_frames:
+                break
+            if recorder is not None:
+                recorder.add_frame(img, t)
+            session.feed(img.astype(np.float32), t)
+            n += 1
+        cam.release()
     else:
         if not args.dataset:
-            ap.error("--dataset or --synthetic required")
+            ap.error("--dataset, --camera, or --synthetic required")
         from orb_slam3_ros2_tpu.io import euroc
 
         seq = euroc.load_sequence(args.dataset,
@@ -131,6 +165,10 @@ def main():
             if "imu" in args.mode and t_prev is not None:
                 tt, gg, aa = seq.imu_between(t_prev, fr.t)
                 imu = [ImuPoint(a, g, t) for t, g, a in zip(tt, gg, aa)]
+            if recorder is not None:
+                recorder.add_frame(fr.load(), fr.t)
+                for p in imu:
+                    recorder.add_imu(p.t, p.gyro, p.acc)
             session.system.track_monocular(fr.load(), fr.t, imu)
             t_prev = fr.t
             n += 1
@@ -143,6 +181,8 @@ def main():
     prof_ctx.close()
     wall = time.perf_counter() - t_start
     artifacts = session.shutdown()
+    if recorder is not None:
+        artifacts["recording"] = recorder.close()
     est, gt, post_init = [], [], []
     for t, T in session.system.get_frame_trajectory():
         rec = ok_by_t.get(round(t, 6))
@@ -180,7 +220,7 @@ def main():
     if args.synthetic:
         for k in range(images.shape[0]):
             gt_by_t[round(float(ts[k]), 6)] = -R_gt[k].T @ t_gt[k]
-    else:
+    elif args.camera is None:
         for fr in frames:
             g = seq.gt_at(fr.t)
             if g is not None:
