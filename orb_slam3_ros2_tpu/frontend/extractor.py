@@ -100,7 +100,17 @@ def _level_grid_select(score: jnp.ndarray, keep: jnp.ndarray, ini_th: float,
     rp = jnp.pad(rank, ((0, ph - h), (0, pw - w)), constant_values=-1.0)
     cells = rp.reshape(ph // CELL, CELL, pw // CELL, CELL).transpose(0, 2, 1, 3)
     cells = cells.reshape(-1, CELL * CELL)  # (n_cells, CELL*CELL)
-    cell_rank, cell_idx = jax.lax.top_k(cells, PER_CELL)  # (n_cells, PER_CELL)
+    # per-cell top-PER_CELL as PER_CELL rounds of (argmax, suppress): a few
+    # vector passes instead of lax.top_k's sort-based lowering
+    col = jnp.arange(cells.shape[1])[None, :]
+    ranks, idxs = [], []
+    for _ in range(PER_CELL):
+        i = jnp.argmax(cells, axis=1)
+        ranks.append(jnp.max(cells, axis=1))
+        idxs.append(i)
+        cells = jnp.where(col == i[:, None], -1.0, cells)
+    cell_rank = jnp.stack(ranks, axis=1)  # (n_cells, PER_CELL)
+    cell_idx = jnp.stack(idxs, axis=1)
 
     n_cells_y = ph // CELL
     n_cells_x = pw // CELL
@@ -162,16 +172,19 @@ def make_extractor(cfg: ExtractorConfig):
         for lvl, (im_l, budget) in enumerate(zip(levels, budgets)):
             if budget <= 0:
                 continue
-            score, keep = pk.fast_nms(im_l)
+            # fused band pass: FAST score + NMS + IC moment maps + blur in
+            # one Pallas kernel (single HBM read of the level image)
+            score, keep, m01, m10, blurred = pk.frontend_pass(im_l)
             yx, sc, valid, subpix = _level_grid_select(
                 score, keep, cfg.ini_th_fast, cfg.min_th_fast, budget
             )
             # clamp coords (invalid entries may sit at the border)
             h, w = im_l.shape
             yx = jnp.clip(yx, EDGE, jnp.asarray([h - EDGE - 1, w - EDGE - 1]))
-            blurred = pk.blur7(im_l)
-            patches_ori = desc_ops.gather_patches(im_l, yx)
-            ang = desc_ops.orientations(patches_ori)
+            # orientation from the moment maps: a 2-scalar lookup per
+            # keypoint instead of a 31x31 patch gather
+            ang = jnp.arctan2(m01[yx[:, 0], yx[:, 1]],
+                              m10[yx[:, 0], yx[:, 1]])
             patches_desc = desc_ops.gather_patches(blurred, yx)
 
             s = scales[lvl]

@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -189,6 +190,186 @@ def _blur_call(H: int, W: int, interpret: bool):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )
+
+
+HALO_F = 16  # fused-pass halo: 15 px moment disc + 1 px NMS neighborhood
+
+
+def _wpad_f(W: int) -> int:
+    return _cdiv(W + 2 * HALO_F, 128) * 128
+
+
+TILE_F = 32  # fused-pass band height (>= 2*HALO_F so prev/next supply
+# halos; 64 blows the 16M scoped-VMEM limit via the sparse-table live set)
+
+
+def _make_frontend_kernel(H: int, W: int):
+    """Fused per-level frontend pass producing FAST score, 3×3-NMS keep
+    mask, IC moment maps (m01, m10 over the radius-15 disc, cf.
+    orb_descriptor.moment_maps), and the 7×7 Gaussian blur — everything the
+    extractor needs per level except the final per-keypoint lookups.
+
+    The banded halo is assembled from three auto-pipelined block inputs
+    (previous/current/next TILE_F-row bands) so Pallas prefetches the next
+    band's HBM copies while the current band computes — no DMA stall,
+    unlike a run_scoped manual copy."""
+    taps = [float(v) for v in pyr_ops._gauss_kernel1d(7, 2.0)]
+    R = 15  # moment disc radius
+    HF = HALO_F
+    TILE = TILE_F
+
+    def kernel(prev_ref, cur_ref, next_ref,
+               score_ref, keep_ref, m01_ref, m10_ref, blur_ref):
+        i = pl.program_id(0)
+
+        if True:  # keep the original body indentation
+            a = jnp.concatenate(
+                [prev_ref[TILE - HF:], cur_ref[:], next_ref[:HF]], axis=0
+            )  # rows ↔ global [i*TILE-HF, i*TILE+TILE+HF)
+            th, tw = TILE + 2, W + 2  # score apron: global rows/cols -1..+1
+
+            # ---- FAST-9 segment-test score on the apron ----
+            # each ring diff computed once; circular window-9 min/max via a
+            # doubling sparse table (log2(9) levels) instead of re-scanning
+            # the 9-arc per start: 144 vs 272 vector ops per pixel
+            center = a[HF - 1:HF - 1 + th, HF - 1:HF - 1 + tw]
+            d = []
+            for k in range(16):
+                dy, dx = OFFSETS[k]
+                d.append(a[HF - 1 + dy:HF - 1 + dy + th,
+                           HF - 1 + dx:HF - 1 + dx + tw] - center)
+
+            def win9(vals, op):
+                m2 = [op(vals[k], vals[(k + 1) % 16]) for k in range(16)]
+                m4 = [op(m2[k], m2[(k + 2) % 16]) for k in range(16)]
+                m8 = [op(m4[k], m4[(k + 4) % 16]) for k in range(16)]
+                return [op(m8[k], vals[(k + 8) % 16]) for k in range(16)]
+
+            mins = win9(d, jnp.minimum)
+            maxs = win9(d, jnp.maximum)
+            best = jnp.maximum(mins[0], -maxs[0])
+            for k in range(1, 16):
+                best = jnp.maximum(best, jnp.maximum(mins[k], -maxs[k]))
+
+            gy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) \
+                + i * TILE - 1
+            gx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) - 1
+            interior = (
+                (gy >= BORDER) & (gy < H - BORDER)
+                & (gx >= BORDER) & (gx < W - BORDER)
+            )
+            sc = jnp.where(interior, jnp.maximum(best, 0.0), 0.0)
+            score_ref[:] = sc[1:1 + TILE, 1:1 + W]
+
+            # ---- 3×3 NMS, raster-order tie-break ----
+            keep = jnp.ones((TILE, W), jnp.float32)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    neigh = sc[1 + dy:1 + dy + TILE, 1 + dx:1 + dx + W]
+                    if (dy, dx) < (0, 0) or ((dy, dx) == (0, -1)):
+                        ok = sc[1:1 + TILE, 1:1 + W] > neigh
+                    else:
+                        ok = sc[1:1 + TILE, 1:1 + W] >= neigh
+                    keep = keep * ok.astype(jnp.float32)
+            keep_ref[:] = keep
+
+            # ---- IC moment maps over the radius-15 disc ----
+            # inclusive row prefix sums via log-shift adds along lanes
+            lanes = a.shape[1]
+            wx = (jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+                  .astype(jnp.float32) - float(HF))
+            S = a
+            C = a * wx
+            sh = 1
+            while sh < lanes:
+                zs = jnp.zeros((a.shape[0], sh), jnp.float32)
+                S = S + jnp.concatenate([zs, S[:, :-sh]], axis=1)
+                C = C + jnp.concatenate([zs, C[:, :-sh]], axis=1)
+                sh *= 2
+            m01 = jnp.zeros((TILE, W), jnp.float32)
+            msum = jnp.zeros((TILE, W), jnp.float32)
+            mxw = jnp.zeros((TILE, W), jnp.float32)
+            for dy in range(-R, R + 1):
+                u = int(np.floor(np.sqrt(R * R - dy * dy)))
+                # out row r ↔ slab row HF+r; sum over cols [x-u, x+u] =
+                # S[HF+x+u] − S[HF+x−u−1]
+                hi = S[HF + dy:HF + dy + TILE, HF + u:HF + u + W]
+                lo = S[HF + dy:HF + dy + TILE, HF - u - 1:HF - u - 1 + W]
+                rs = hi - lo
+                chi = C[HF + dy:HF + dy + TILE, HF + u:HF + u + W]
+                clo = C[HF + dy:HF + dy + TILE, HF - u - 1:HF - u - 1 + W]
+                m01 = m01 + float(dy) * rs
+                msum = msum + rs
+                mxw = mxw + (chi - clo)
+            xout = jax.lax.broadcasted_iota(jnp.int32, (TILE, W), 1).astype(
+                jnp.float32
+            )
+            m01_ref[:] = m01
+            m10_ref[:] = mxw - msum * xout
+
+            # ---- 7×7 Gaussian blur ----
+            v = jnp.zeros((TILE, W + 8), jnp.float32)
+            for t in range(7):
+                v = v + taps[t] * a[HF - 3 + t:HF - 3 + t + TILE,
+                                    HF - 4:HF + 4 + W]
+            out = jnp.zeros((TILE, W), jnp.float32)
+            for t in range(7):
+                out = out + taps[t] * v[:, 1 + t:1 + t + W]
+            blur_ref[:] = out
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _frontend_call(H: int, W: int, interpret: bool):
+    Hp = _cdiv(H, TILE_F) * TILE_F
+    wp = _wpad_f(W)
+    # the padded image has one extra TILE_F band at top and bottom; block
+    # index i of the padded array ↔ image band i-1
+    in_band = lambda off: pl.BlockSpec(
+        (TILE_F, wp), lambda i, off=off: (i + off, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_band = pl.BlockSpec((TILE_F, W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_frontend_kernel(H, W),
+        grid=(Hp // TILE_F,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((Hp, W), jnp.float32) for _ in range(5)
+        ),
+        in_specs=[in_band(0), in_band(1), in_band(2)],
+        out_specs=(out_band,) * 5,
+        interpret=interpret,
+    )
+
+
+def _pad_for_tiles_f(img: jnp.ndarray, Hp: int):
+    H, W = img.shape
+    out = jnp.zeros((Hp + 2 * TILE_F, _wpad_f(W)), img.dtype)
+    return jax.lax.dynamic_update_slice(out, img, (TILE_F, HALO_F))
+
+
+def frontend_pass(img: jnp.ndarray, interpret: bool | None = None):
+    """(H, W) image -> (score, keep, m01, m10, blurred): the whole
+    per-level frontend in one fused band pass (single HBM image read).
+    jnp composition fallback off-TPU; `interpret` forces the Pallas
+    interpreter (CPU oracle tests)."""
+    from orb_slam3_ros2_tpu.ops import orb_descriptor as desc_ops
+
+    if interpret is None and not _on_tpu():
+        score = fast_ops.fast_score(img)
+        m01, m10 = desc_ops.moment_maps(img)
+        return (score, fast_ops.nms3x3(score), m01, m10,
+                pyr_ops.gaussian_blur(img))
+    H, W = img.shape
+    Hp = _cdiv(H, TILE_F) * TILE_F
+    padded = _pad_for_tiles_f(img, Hp)
+    call = _frontend_call(H, W, bool(interpret))
+    score, keepf, m01, m10, blur = call(padded, padded, padded)
+    return (score[:H], keepf[:H] > 0.5, m01[:H], m10[:H], blur[:H])
 
 
 def _on_tpu() -> bool:

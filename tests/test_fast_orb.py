@@ -157,3 +157,23 @@ def test_match_respects_gate_and_mask():
     # masking out B rows kills matches
     res2 = matcher.match(signs, mask, signs, jnp.zeros((8,), bool))
     assert (np.asarray(res2.idx) == -1).all()
+
+
+def test_moment_maps_match_patch_orientations():
+    """Full-image cumsum moments == patch-gather IC moments on the interior
+    (the extractor reads them only at keypoints >= EDGE from the border)."""
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    ys = rng.integers(20, 76, 40)
+    xs = rng.integers(20, 108, 40)
+    yx = jnp.stack([jnp.asarray(ys), jnp.asarray(xs)], -1).astype(jnp.int32)
+
+    patches = desc_ops.gather_patches(img, yx)
+    want = np.asarray(desc_ops.orientations(patches))
+
+    m01, m10 = desc_ops.moment_maps(img)
+    got = np.asarray(jnp.arctan2(m01[yx[:, 0], yx[:, 1]],
+                                 m10[yx[:, 0], yx[:, 1]]))
+    # f32 prefix-sum cancellation bounds agreement at ~2e-3 rad — far below
+    # the descriptor's 2π/64 ≈ 0.098 rad steering bin width
+    np.testing.assert_allclose(got, want, atol=5e-3)

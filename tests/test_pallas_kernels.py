@@ -67,3 +67,29 @@ def test_binned_describe_close_to_exact():
                                    np.asarray(s_binned)))
     assert ham.mean() < 12.0, f"mean binned-vs-exact Hamming {ham.mean():.1f}"
     assert np.median(ham) < 12.0
+
+
+def test_frontend_pass_kernel_matches_oracles_interior():
+    """Fused pass (FAST + NMS + moment maps + blur) vs the individual jnp
+    oracles on the interior (moment disc reaches 15 px, so compare >= 16 px
+    from the border — the extractor's EDGE=19 margin guarantees more)."""
+    from orb_slam3_ros2_tpu.ops import orb_descriptor as desc_ops
+
+    img = jnp.asarray(_img(h=96, w=160, seed=3))
+    score, keep, m01, m10, blur = (
+        np.asarray(v) for v in pk.frontend_pass(img, interpret=True)
+    )
+    score_ref = np.asarray(fast_ops.fast_score(img))
+    keep_ref = np.asarray(fast_ops.nms3x3(fast_ops.fast_score(img)))
+    m01_ref, m10_ref = (np.asarray(v) for v in desc_ops.moment_maps(img))
+    blur_ref = np.asarray(pyr_ops.gaussian_blur(img))
+
+    B = 16
+    sl = np.s_[B:-B, B:-B]
+    np.testing.assert_allclose(score[sl], score_ref[sl], atol=1e-4)
+    np.testing.assert_array_equal(keep[sl], keep_ref[sl])
+    # moments agree to f32 prefix-sum rounding (values are O(1e4-1e5);
+    # a few absolute units is ~1e-5 relative — invisible in arctan2)
+    np.testing.assert_allclose(m01[sl], m01_ref[sl], rtol=2e-4, atol=2.0)
+    np.testing.assert_allclose(m10[sl], m10_ref[sl], rtol=2e-4, atol=2.0)
+    np.testing.assert_allclose(blur[sl], blur_ref[sl], rtol=1e-5, atol=1e-3)
