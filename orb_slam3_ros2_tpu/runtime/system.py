@@ -137,6 +137,11 @@ class System:
                     self.atlas = loaded
                     # relocalize into the resumed map rather than re-init
                     self.state = TrackingState.LOST
+                    # a map restored from file is never discarded by the
+                    # tiny-map policy — on persistent loss it freezes and a
+                    # new map spawns (upstream Atlas keeps loaded maps as
+                    # non-active; reloc back into them stays possible)
+                    self._map_protected = True
                     # keyframe-id ↔ time bookkeeping must cover the loaded
                     # keyframes (kf_times[k] is KF k's timestamp everywhere)
                     self.kf_times = [
@@ -348,6 +353,7 @@ class System:
     def reset(self):
         self.atlas = atlas_mod.Atlas(self.map_cfg)
         self.state = TrackingState.NOT_INITIALIZED
+        self._map_protected = False  # see LoadAtlasFromFile / _relocalize
         self.Tcw = np.eye(4, dtype=np.float32)  # current camera pose
         self.velocity: Optional[np.ndarray] = None  # T_cur_last (4, 4)
         self.last_Tcw: Optional[np.ndarray] = None
@@ -427,6 +433,7 @@ class System:
         calibration (biases, gravity alignment) survives the map change."""
         self.atlas.create_new_map()
         self._spawn_state_reset()
+        self._map_protected = False  # the fresh active map is discardable
 
     # --------------------------------------------------------------- helpers
 
@@ -1523,13 +1530,15 @@ class System:
                 return
         self.frames_lost += 1
         if self.frames_lost >= self.LOST_FRAMES_NEW_MAP:
-            if n_kf < self.MIN_KFS_KEEP_MAP:
+            if n_kf < self.MIN_KFS_KEEP_MAP and not self._map_protected:
                 # tiny map: not worth freezing — restart it in place
                 self.atlas.current_map = ms.empty_map(self.map_cfg)
                 self.atlas.current_bow = vocab_mod.empty_database(
                     self.map_cfg.max_kf)
                 self._spawn_state_reset()
             else:
+                # maps restored from an atlas file are always frozen, never
+                # discarded, regardless of size
                 self._spawn_new_map()
 
     def _spawn_state_reset(self):

@@ -95,3 +95,32 @@ def test_new_map_spawn_on_persistent_loss(rendered):
     assert int(sys_.map.n_kf) == 0  # fresh active map
     # the frozen map retains its keyframes
     assert int(sys_.atlas.maps[0].n_kf) >= sys_.MIN_KFS_KEEP_MAP
+
+
+def test_loaded_map_never_discarded_on_loss(rendered, tmp_path):
+    """A map restored via System.LoadAtlasFromFile must be frozen (new map
+    spawned), never restarted in place, even below the tiny-map threshold —
+    upstream Atlas keeps loaded maps as non-active maps."""
+    images, R_gt, t_gt, ts = rendered
+    sys_ = System(None, SETTINGS, Sensor.MONOCULAR)
+    _run(sys_, images, ts, n=22)
+    n_kf = int(sys_.map.n_kf)
+    assert 1 <= n_kf < sys_.MIN_KFS_KEEP_MAP  # small map, below threshold
+    path = str(tmp_path / "small_atlas.npz")
+    sys_.save_atlas(path)
+
+    cfg = tmp_path / "resume_small.yaml"
+    cfg.write_text(open(SETTINGS).read()
+                   + f'\nSystem.LoadAtlasFromFile: "{path}"\n')
+    sys2 = System(None, str(cfg), Sensor.MONOCULAR, map_cfg=sys_.map_cfg)
+    assert int(sys2.map.n_kf) == n_kf
+
+    # feed frames of a DIFFERENT scene: relocalization must fail and, after
+    # LOST_FRAMES_NEW_MAP failures, spawn a NEW map; the loaded one survives
+    other, _, _, ts2 = synthetic.render_sequence(
+        n_frames=sys2.LOST_FRAMES_NEW_MAP + 5, width=320, height=240,
+        fx=260.0, fy=260.0, fps=10.0, seed=9, traj_scale=1.6,
+    )
+    for k in range(other.shape[0]):
+        sys2.track_monocular(other[k], 500.0 + float(ts2[k]))
+    assert sys2.atlas.n_maps() == 2  # frozen loaded map + fresh active map
