@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--output-name", default=None)
     ap.add_argument("--video", action="store_true")
+    ap.add_argument("--viewer", type=int, nargs="?", const=8400,
+                    default=None, metavar="PORT",
+                    help="serve the live web viewer (use_pangolin "
+                         "equivalent) on PORT")
     ap.add_argument("--profile", action="store_true",
                     help="include per-stage wall-clock stats in the report")
     ap.add_argument("--jax-profile", metavar="LOGDIR",
@@ -69,6 +73,14 @@ def main():
     session = SlamSession(args.settings, sensor,
                           output_name=args.output_name,
                           record_video=args.video)
+
+    viewer = None
+    if args.viewer is not None:
+        from orb_slam3_ros2_tpu.runtime.viewer import LiveViewer
+
+        viewer = LiveViewer(session.system, port=args.viewer)
+        print(f"live viewer: http://localhost:{viewer.port}/",
+              file=sys.stderr)
 
     recorder = None
     if args.record:
@@ -180,6 +192,8 @@ def main():
 
     prof_ctx.close()
     wall = time.perf_counter() - t_start
+    if viewer is not None:
+        viewer.close()
     artifacts = session.shutdown()
     if recorder is not None:
         artifacts["recording"] = recorder.close()
