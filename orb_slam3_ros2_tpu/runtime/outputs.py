@@ -22,16 +22,60 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def _native_filter():
+    """ctypes handle for native/pcl_filters.cpp (None if lib unavailable)."""
+    global _NATIVE_FILTER
+    if "_NATIVE_FILTER" not in globals():
+        import ctypes
+
+        _NATIVE_FILTER = None
+        for p in (os.path.join(os.path.dirname(__file__), "..", "..",
+                               "native", "libtpuslam_native.so"),
+                  "libtpuslam_native.so"):
+            try:
+                lib = ctypes.CDLL(os.path.abspath(p))
+            except OSError:
+                continue
+            lib.pcl_filter.restype = ctypes.c_int
+            lib.pcl_filter.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            _NATIVE_FILTER = lib
+            break
+    return _NATIVE_FILTER
+
+
 def filter_point_cloud(
     pts: np.ndarray,
     sor_mean_k: int = 100,
     sor_stddev: float = 0.1,
     radius: float = 0.1,
     min_neighbors: int = 5,
+    native: bool = True,
 ) -> np.ndarray:
-    """SOR + radius outlier removal (PCL-parameter parity)."""
+    """SOR + radius outlier removal (PCL-parameter parity).
+
+    Runs the native KD-tree implementation (native/pcl_filters.cpp — the
+    C++ counterpart of the wrapper's PCL chain) when the library is built;
+    scipy fallback otherwise, identical semantics either way."""
     if len(pts) == 0:
         return pts
+    lib = _native_filter() if native else None
+    if lib is not None:
+        import ctypes
+
+        p = np.ascontiguousarray(pts, np.float32)
+        keep = np.zeros(len(p), np.uint8)
+        n_kept = lib.pcl_filter(
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(p),
+            int(sor_mean_k), float(sor_stddev), float(radius),
+            int(min_neighbors),
+            keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if n_kept >= 0:
+            return p[keep.astype(bool)]
     from scipy.spatial import cKDTree
 
     tree = cKDTree(pts)

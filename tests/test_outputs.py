@@ -63,3 +63,29 @@ def test_annotate_frame_shapes():
     vis = outputs.annotate_frame(img, uv, np.array([True, True]))
     assert vis.shape == (120, 160, 3)
     assert vis.sum() > 0
+
+
+def test_native_filter_matches_scipy_oracle():
+    """native/pcl_filters.cpp must keep exactly the same points as the
+    scipy KD-tree path (identical SOR + radius semantics)."""
+    from orb_slam3_ros2_tpu.runtime import outputs
+
+    if outputs._native_filter() is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(11)
+    # dense cluster + sparse outliers so both stages actually cut
+    pts = np.concatenate([
+        rng.normal(0, 0.3, (800, 3)),
+        rng.uniform(-8, 8, (60, 3)),
+    ]).astype(np.float32)
+    got = outputs.filter_point_cloud(pts, sor_mean_k=30, sor_stddev=0.5,
+                                     radius=0.15, min_neighbors=4,
+                                     native=True)
+    want = outputs.filter_point_cloud(pts, sor_mean_k=30, sor_stddev=0.5,
+                                      radius=0.15, min_neighbors=4,
+                                      native=False)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=0)
+    assert 0 < len(got) < len(pts)
