@@ -343,6 +343,10 @@ def _frontend_call(H: int, W: int, interpret: bool):
         in_specs=[in_band(0), in_band(1), in_band(2)],
         out_specs=(out_band,) * 5,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),  # bands are independent —
+            # lets megacore chips split the grid across TensorCores
+        ),
     )
 
 
