@@ -107,6 +107,24 @@ class SlamSession:
         out_mod.save_occupancy_grid(base, grid, origin)
         artifacts["grid"] = base + ".pgm"
         artifacts["trajectory"] = self.save_trajectory_tum()
+        # structured event log (SURVEY §5 metrics/logging): one JSON line per
+        # tracked frame + a final summary with per-stage timing stats
+        import json
+
+        ev_path = os.path.join(self.out_dir, f"{self.name}_events.jsonl")
+        with open(ev_path, "w") as f:
+            for rec in self.system.tracking_log:
+                f.write(json.dumps(rec) + "\n")
+            f.write(json.dumps({
+                "event": "shutdown",
+                "keyframes": int(self.system.map.n_kf),
+                "landmarks": int(
+                    np.asarray(self.system.map.lm_valid).sum()
+                ),
+                "maps": int(self.system.atlas.n_maps()),
+                "stages": self.system.tracer.report(),
+            }) + "\n")
+        artifacts["events"] = ev_path
         if self.video is not None:
             self.video.close()
             artifacts["video"] = os.path.join(
