@@ -29,15 +29,82 @@ N_BITS = 256
 
 @functools.lru_cache(maxsize=None)
 def _anchors_np(n_words: int = N_WORDS, seed: int = 7) -> np.ndarray:
-    """(W, 256) ±1 anchor descriptors (the codebook)."""
+    """(W, 256) ±1 anchor descriptors (the default codebook)."""
     rng = np.random.default_rng(seed)
     return np.where(rng.random((n_words, N_BITS)) < 0.5, -1.0, 1.0).astype(
         np.float32
     )
 
 
+_ACTIVE_ANCHORS: np.ndarray | None = None  # set via set_vocabulary
+
+
 def anchors() -> jnp.ndarray:
+    if _ACTIVE_ANCHORS is not None:
+        return jnp.asarray(_ACTIVE_ANCHORS)
     return jnp.asarray(_anchors_np())
+
+
+def set_vocabulary(anchors_pm: np.ndarray) -> None:
+    """Install a (possibly trained) codebook process-wide — the analogue of
+    the reference passing `ORBvoc.txt` to the System ctor
+    (`/root/reference/src/imu_mono_realsense.cpp:52-53,99`). Must run before
+    any jitted BoW function is traced (the System ctor does); clears jit
+    caches so retracing picks the new anchors up."""
+    global _ACTIVE_ANCHORS
+    a = np.asarray(anchors_pm, np.float32)
+    if a.shape != (N_WORDS, N_BITS):
+        raise ValueError(
+            f"vocabulary must be ({N_WORDS}, {N_BITS}) ±1, got {a.shape}"
+        )
+    if not np.all(np.abs(a) == 1.0):
+        raise ValueError("vocabulary anchors must be ±1 sign vectors")
+    _ACTIVE_ANCHORS = a
+    jax.clear_caches()  # anchors are trace-time constants in the BoW fns
+
+
+def save_vocabulary(path: str, anchors_pm: np.ndarray) -> str:
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    np.savez_compressed(path, anchors=np.asarray(anchors_pm, np.float32))
+    return path
+
+
+def load_vocabulary(path: str) -> np.ndarray:
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    return np.load(path)["anchors"].astype(np.float32)
+
+
+def train_vocabulary(signs: np.ndarray, n_words: int = N_WORDS,
+                     iters: int = 8, seed: int = 0) -> np.ndarray:
+    """k-majority clustering of ±1 descriptors into a codebook — the
+    training step DBoW2 performs offline to produce ORBvoc (hierarchical
+    k-medians over binary descriptors [upstream]); flat here because
+    retrieval is a dense matmul, not a tree walk.
+
+    signs: (M, 256) ±1 training descriptors. Returns (n_words, 256) ±1.
+    """
+    rng = np.random.default_rng(seed)
+    S = np.asarray(signs, np.float32)
+    M = S.shape[0]
+    if M < n_words:
+        raise ValueError(f"need >= {n_words} descriptors, got {M}")
+    A = S[rng.permutation(M)[:n_words]].copy()
+    for _ in range(iters):
+        # assign: nearest anchor by Hamming == max dot product
+        w = np.argmax(S @ A.T, axis=1)  # (M,)
+        # update: per-bit majority vote of members; ties/empties keep old
+        sums = np.zeros((n_words, S.shape[1]), np.float32)
+        np.add.at(sums, w, S)
+        counts = np.bincount(w, minlength=n_words)
+        upd = np.where(sums != 0, np.sign(sums), A)
+        A = np.where(counts[:, None] > 0, upd, A)
+        # re-seed empty clusters from random descriptors
+        empty = np.where(counts == 0)[0]
+        if len(empty):
+            A[empty] = S[rng.integers(0, M, len(empty))]
+    return A.astype(np.float32)
 
 
 def assign_words(signs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

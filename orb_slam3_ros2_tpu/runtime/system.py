@@ -99,7 +99,13 @@ class System:
         map_cfg: Optional[ms.MapConfig] = None,
         init_frame: int = 0,
     ):
-        del vocab_path, init_frame  # vocabulary is built-in (projection BoW)
+        del init_frame
+        # vocab ctor slot = reference's ORBvoc.txt path
+        # (`src/imu_mono_realsense.cpp:52-53,99`): None -> built-in
+        # projection codebook; a path -> trained codebook npz
+        # (loop/vocab.train_vocabulary / scripts/train_vocab.py)
+        if vocab_path:
+            vocab_mod.set_vocabulary(vocab_mod.load_vocabulary(vocab_path))
         self.sensor = Sensor(sensor)
         self.settings = settings_mod.load_settings(settings_path)
         self.use_viewer = use_viewer

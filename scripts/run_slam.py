@@ -49,6 +49,9 @@ def main():
                              "imu_stereo"])
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--output-name", default=None)
+    ap.add_argument("--vocab", default=None,
+                    help="trained vocabulary npz (scripts/train_vocab.py); "
+                         "default: built-in projection codebook")
     ap.add_argument("--video", action="store_true")
     ap.add_argument("--viewer", type=int, nargs="?", const=8400,
                     default=None, metavar="PORT",
@@ -70,9 +73,14 @@ def main():
         "stereo": Sensor.STEREO,
         "imu_stereo": Sensor.IMU_STEREO,
     }[args.mode]
+    system = None
+    if args.vocab:
+        from orb_slam3_ros2_tpu.runtime.system import System
+
+        system = System(args.vocab, args.settings, sensor)
     session = SlamSession(args.settings, sensor,
                           output_name=args.output_name,
-                          record_video=args.video)
+                          record_video=args.video, system=system)
 
     viewer = None
     if args.viewer is not None:
