@@ -96,6 +96,31 @@ def obs_from_rectified(sm: StereoMatch, uv_l: jnp.ndarray,
     return StereoObs(X_cam=X, depth=sm.depth, valid=sm.valid)
 
 
+def obs_from_depth(
+    uv_raw: jnp.ndarray,  # (N, 2) keypoints in the RAW image (depth frame)
+    uv_undist: jnp.ndarray,  # (N, 2) undistorted pixels (projection frame)
+    mask: jnp.ndarray,
+    depth_img: jnp.ndarray,  # (H, W) metric depth registered to the image
+    fx, fy, cx, cy,
+    min_depth: float = 0.05,
+    max_depth: float = 40.0,
+) -> StereoObs:
+    """RGBD observations: depth sampled at the detected (raw) keypoint
+    location — nearest pixel, matching the upstream RGBD frame constructor
+    (bilinear across depth discontinuities would invent phantom points) —
+    backprojected through the undistorted pinhole (upstream also optimizes
+    on undistorted keypoints with raw-sampled depth)."""
+    H, W = depth_img.shape
+    u = jnp.clip(jnp.round(uv_raw[:, 0]).astype(jnp.int32), 0, W - 1)
+    v = jnp.clip(jnp.round(uv_raw[:, 1]).astype(jnp.int32), 0, H - 1)
+    d = depth_img[v, u]
+    valid = mask & jnp.isfinite(d) & (d > min_depth) & (d < max_depth)
+    d = jnp.where(valid, d, 0.0)
+    X = backproject(uv_undist, d, fx, fy, cx, cy)
+    return StereoObs(X_cam=jnp.where(valid[:, None], X, 0.0), depth=d,
+                     valid=valid)
+
+
 def match_stereo_general(
     rays_l: jnp.ndarray,  # (N, 3) unit-z rays in the left camera
     signs_l: jnp.ndarray,

@@ -172,12 +172,16 @@ def render_sequence(
     plane_depths=(6.0, 9.0),
     traj_scale: float = 1.0,
     stereo_baseline: float = 0.0,
+    return_depth: bool = False,
 ):
     """Render a camera flying in front of fronto-parallel textured planes.
 
     Returns (images (K, H, W) float32, R_cw (K,3,3), t_cw (K,3), timestamps).
     Plane i occupies world z = plane_depths[i], x∈[-6,6], y∈[-4.5,4.5]; the
     nearer planes are composited over the farther by painting far-to-near.
+    With return_depth (mono only): (images, depths, R_cw, t_cw, ts) where
+    depths is the metric z-in-camera of the visible surface per pixel (an
+    ideal registered RGBD depth channel; 0 where no plane is visible).
     """
     import cv2
 
@@ -195,8 +199,15 @@ def render_sequence(
     for i, depth in enumerate(plane_depths):
         planes.append((_texture(tex_h, tex_w, seed + 10 + i), depth))
 
+    uu, vv = np.meshgrid(np.arange(width), np.arange(height))
+    rx = (uu - cx) / fx
+    ry = (vv - cy) / fy
+
     def render(Rk, tk):
         frame = np.zeros((height, width), np.float32)
+        zmap = np.zeros((height, width), np.float32)
+        R_wc = Rk.T
+        c_w = -Rk.T @ tk
         for tex, depth in sorted(planes, key=lambda p: -p[1]):  # far first
             sx = 2 * half_x / tex_w
             sy = 2 * half_y / tex_h
@@ -208,12 +219,25 @@ def render_sequence(
                 tex, M.astype(np.float64), (width, height),
                 flags=cv2.INTER_LINEAR, borderValue=-1.0,
             )
-            frame = np.where(warped >= 0, warped, frame)
-        return frame
+            vis = warped >= 0
+            frame = np.where(vis, warped, frame)
+            if return_depth:
+                # ray (rx, ry, 1) meets world plane z=depth at
+                # z_cam = (depth - c_w_z) / (R_wc[2] · ray)
+                den = R_wc[2, 0] * rx + R_wc[2, 1] * ry + R_wc[2, 2]
+                z = (depth - c_w[2]) / np.where(np.abs(den) < 1e-9, 1e-9,
+                                                den)
+                zmap = np.where(vis, z.astype(np.float32), zmap)
+        return frame, zmap
 
     images = np.zeros((n_frames, height, width), np.float32)
+    depths = np.zeros((n_frames, height, width), np.float32)
     for k in range(n_frames):
-        images[k] = render(R_cw[k], t_cw[k])
+        images[k], depths[k] = render(R_cw[k], t_cw[k])
+    if return_depth:
+        assert stereo_baseline == 0.0, "return_depth is mono-only"
+        return (images, depths, R_cw.astype(np.float32),
+                t_cw.astype(np.float32), ts)
 
     if stereo_baseline > 0.0:
         # right camera: displaced +baseline along the left camera's x-axis;
@@ -221,7 +245,7 @@ def render_sequence(
         images_r = np.zeros_like(images)
         off = np.array([stereo_baseline, 0.0, 0.0])
         for k in range(n_frames):
-            images_r[k] = render(R_cw[k], t_cw[k] - off)
+            images_r[k], _ = render(R_cw[k], t_cw[k] - off)
         return (images, images_r, R_cw.astype(np.float32),
                 t_cw.astype(np.float32), ts)
     return images, R_cw.astype(np.float32), t_cw.astype(np.float32), ts

@@ -62,6 +62,12 @@ class Sensor(enum.IntEnum):
     IMU_RGBD = 5
 
 
+IMU_MODES = (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO, Sensor.IMU_RGBD)
+# modes whose maps are born at metric scale (loop-closing Sim3 fixes s=1)
+METRIC_MODES = (Sensor.STEREO, Sensor.RGBD, Sensor.IMU_STEREO,
+                Sensor.IMU_RGBD)
+
+
 class TrackingState(enum.IntEnum):
     NOT_INITIALIZED = 0
     OK = 1
@@ -107,6 +113,7 @@ class System:
         if vocab_path:
             vocab_mod.set_vocabulary(vocab_mod.load_vocabulary(vocab_path))
         self.sensor = Sensor(sensor)
+        self._metric_scale = self.sensor in METRIC_MODES
         self.settings = settings_mod.load_settings(settings_path)
         self.use_viewer = use_viewer
         cam = self.settings.camera
@@ -482,7 +489,7 @@ class System:
         (t_prev, t_img] — correctly interleaved here, unlike the wrapper's
         half-wired path (SURVEY.md §3.2)."""
         t0 = _time.perf_counter()
-        if self.sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO):
+        if self.sensor in IMU_MODES:
             self.imu_queue.extend(imu_measurements)
             self._kf_imu_buf.extend(imu_measurements)
 
@@ -525,7 +532,7 @@ class System:
         `Stereo.T_c1_c2` (KannalaBrandt8 / distorted PinHole rigs) — so no
         two-view initialization is needed and scale is observable."""
         t0 = _time.perf_counter()
-        if self.sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO):
+        if self.sensor in IMU_MODES:
             self.imu_queue.extend(imu_measurements)
             self._kf_imu_buf.extend(imu_measurements)
 
@@ -542,6 +549,57 @@ class System:
             sm = self._stereo_obs(
                 feats.uv, feats.signs, feats.mask, feats.level,
                 feats_r.uv, feats_r.signs, feats_r.mask, feats_r.level,
+            )
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            self._initialize_stereo(feats, sm, timestamp)
+        elif self.state == TrackingState.OK:
+            self._track(feats, timestamp, stereo=sm, imu=imu_measurements)
+        else:
+            self._relocalize(feats, timestamp)
+
+        self.last_frame_feats = feats
+        self.last_frame_time = timestamp
+        self.n_frames += 1
+        self.trajectory.append((timestamp, self.Tcw.copy()))
+        self.frame_refs.append(self._current_frame_ref())
+        self.tracking_log.append(
+            {"t": timestamp, "state": int(self.state),
+             "ms": (_time.perf_counter() - t0) * 1e3}
+        )
+        return self.Tcw.copy()
+
+    def track_rgbd(
+        self,
+        im: np.ndarray,
+        depthmap: np.ndarray,
+        timestamp: float,
+        imu_measurements: Sequence[ImuPoint] = (),
+    ) -> np.ndarray:
+        """RGB-D per-frame entry point (upstream `TrackRGBD`): depth is
+        sampled at each detected keypoint (raw pixel) and backprojected
+        through the undistorted pinhole, then the metric landmark /
+        keyframe machinery is shared with the stereo path — RGBD is stereo
+        with the correspondence problem pre-solved by the sensor."""
+        t0 = _time.perf_counter()
+        if self.sensor in IMU_MODES:
+            self.imu_queue.extend(imu_measurements)
+            self._kf_imu_buf.extend(imu_measurements)
+
+        img = self._preprocess(im)
+        with self.tracer.stage("extract"):
+            feats_raw = self._extract(img)
+            import dataclasses as _dc
+
+            feats = _dc.replace(feats_raw, uv=self._undistort(feats_raw.uv))
+        from orb_slam3_ros2_tpu.frontend import stereo as stereo_mod
+
+        with self.tracer.stage("stereo_match"):
+            sm = stereo_mod.obs_from_depth(
+                feats_raw.uv, feats.uv, feats.mask,
+                jnp.asarray(depthmap, jnp.float32),
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                max_depth=float(self.settings.th_far_points or 40.0),
             )
 
         if self.state == TrackingState.NOT_INITIALIZED:
@@ -953,7 +1011,7 @@ class System:
         m, _, _ = self._fuse(m, jnp.asarray(new_id, jnp.int32))
         self.map = m
         self.kf_times.append(timestamp)
-        is_imu = self.sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO)
+        is_imu = self.sensor in IMU_MODES
         if is_imu:
             self._finish_kf_preint(timestamp)
 
@@ -1148,12 +1206,13 @@ class System:
             cand = closing_mod.detect_and_verify(
                 self.map, new_kf, int(ids[rank]),
                 jax.random.PRNGKey(self.n_frames + rank),
-                fix_scale=self.imu_initialized,
+                fix_scale=self.imu_initialized or self._metric_scale,
             )
             if cand is None:
                 continue
             self.map = closing_mod.close_loop(
-                self.map, new_kf, cand, fix_scale=self.imu_initialized
+                self.map, new_kf, cand,
+                fix_scale=self.imu_initialized or self._metric_scale
             )
             # global BA polish after the pose-graph correction (upstream
             # RunGlobalBundleAdjustment; skipped in inertial mode, where the
@@ -1195,7 +1254,7 @@ class System:
             cand = merging_mod.detect_cross_map(
                 self.map, new_kf, old_map, int(np.asarray(ids)[0]),
                 jax.random.PRNGKey(self.n_frames + 77),
-                fix_scale=self.imu_initialized,
+                fix_scale=self.imu_initialized or self._metric_scale,
             )
             if cand is None:
                 continue
@@ -1429,7 +1488,7 @@ class System:
             pres, jnp.asarray(R_wb, jnp.float32),
             jnp.asarray(p_wb, jnp.float32),
             # stereo(-inertial) maps are already metric: pin log s = 0
-            fix_scale=(self.sensor == Sensor.IMU_STEREO),
+            fix_scale=(self.sensor in (Sensor.IMU_STEREO, Sensor.IMU_RGBD)),
         )
         s = float(out.scale)
         if not (0.05 < s < 50.0) or not np.isfinite(s):

@@ -46,7 +46,7 @@ def main():
                          "(ros2 bag record equivalent; replay via --dataset)")
     ap.add_argument("--mode", default="monocular",
                     choices=["monocular", "imu_monocular", "stereo",
-                             "imu_stereo"])
+                             "imu_stereo", "rgbd"])
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--output-name", default=None)
     ap.add_argument("--vocab", default=None,
@@ -72,6 +72,7 @@ def main():
         "imu_monocular": Sensor.IMU_MONOCULAR,
         "stereo": Sensor.STEREO,
         "imu_stereo": Sensor.IMU_STEREO,
+        "rgbd": Sensor.RGBD,
     }[args.mode]
     system = None
     if args.vocab:
@@ -171,6 +172,20 @@ def main():
             session.feed(img.astype(np.float32), t)
             n += 1
         cam.release()
+    elif args.mode == "rgbd":
+        if not args.dataset:
+            ap.error("--dataset required for rgbd mode (TUM RGB-D layout)")
+        from orb_slam3_ros2_tpu.io import tum_rgbd
+
+        seq = tum_rgbd.load_sequence(args.dataset)
+        frames = seq.frames[: args.max_frames or len(seq.frames)]
+        for fr in frames:
+            img, depth = fr.load()
+            session.system.track_rgbd(img, depth, fr.t)
+            n += 1
+            g = seq.gt_at(fr.t)
+            if g is not None and session.system.get_tracking_state().value == 1:
+                ok_by_t[round(fr.t, 6)] = (g, True)
     else:
         if not args.dataset:
             ap.error("--dataset, --camera, or --synthetic required")

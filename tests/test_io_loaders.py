@@ -61,3 +61,40 @@ def test_imu_sync_interpolation_and_csv(tmp_path):
     first = lines[1].split(",")
     assert len(first) == 7
     assert int(first[0]) == int(round(t[0] * 1e9))
+
+
+def test_tum_rgbd_loader(tmp_path):
+    """TUM RGB-D layout: nearest-timestamp rgb/depth association, 16-bit
+    depth at 5000 units/m, groundtruth positions."""
+    import cv2
+
+    from orb_slam3_ros2_tpu.io import tum_rgbd
+
+    root = tmp_path / "fr1"
+    (root / "rgb").mkdir(parents=True)
+    (root / "depth").mkdir()
+    rng = np.random.default_rng(0)
+    rgb_rows, depth_rows = [], []
+    for i, t in enumerate([1.00, 1.05, 1.10, 1.15]):
+        name = f"rgb/{t:.6f}.png"
+        cv2.imwrite(str(root / name),
+                    rng.integers(0, 255, (24, 32), dtype=np.uint8))
+        rgb_rows.append(f"{t:.6f} {name}")
+    # depth stream offset by 6 ms; one rgb frame (1.15) gets no partner
+    for t in [1.006, 1.056, 1.106]:
+        name = f"depth/{t:.6f}.png"
+        d16 = np.full((24, 32), int(2.5 * 5000), np.uint16)
+        cv2.imwrite(str(root / name), d16)
+        depth_rows.append(f"{t:.6f} {name}")
+    (root / "rgb.txt").write_text("# rgb\n" + "\n".join(rgb_rows) + "\n")
+    (root / "depth.txt").write_text("\n".join(depth_rows) + "\n")
+    (root / "groundtruth.txt").write_text(
+        "# gt\n1.00 0 0 0 0 0 0 1\n1.10 1 0 0 0 0 0 1\n"
+    )
+
+    seq = tum_rgbd.load_sequence(str(root), max_dt=0.02)
+    assert len(seq.frames) == 3  # the 1.15 frame has no depth within 20 ms
+    img, depth = seq.frames[0].load()
+    assert img.shape == (24, 32) and img.dtype == np.float32
+    np.testing.assert_allclose(depth, 2.5, atol=1e-4)
+    np.testing.assert_allclose(seq.gt_at(1.10), [1, 0, 0])
