@@ -35,8 +35,15 @@ class SlamSession:
         output_root: str = "output",
         record_video: bool = False,
         system: Optional[System] = None,
+        checkpoint_every: Optional[int] = None,
     ):
         self.system = system or System(None, settings_path, sensor)
+        # periodic atlas checkpoint for host-failure recovery (SURVEY §5:
+        # the reference only saves on clean shutdown; long multi-host runs
+        # need restartability). Resume via System.LoadAtlasFromFile or
+        # run_slam --load-atlas.
+        self.checkpoint_every = checkpoint_every
+        self._frames_fed = 0
         self.name = output_name or time.strftime("%Y-%m-%d_%H-%M-%S")
         self.out_dir = os.path.join(output_root, self.name)
         self.video: Optional[out_mod.VideoRecorder] = None
@@ -64,6 +71,7 @@ class SlamSession:
         self._last_ba1, self._last_ba2 = ba1, ba2
 
         self.pose_history.append((t, T))
+        self.maybe_checkpoint()
         if self.video is not None:
             feats = self.system.last_frame_feats
             frame = out_mod.annotate_frame(
@@ -72,6 +80,16 @@ class SlamSession:
             )
             self.video.write(frame)
         return T
+
+    def maybe_checkpoint(self) -> Optional[str]:
+        """Checkpoint the atlas every `checkpoint_every` fed frames."""
+        self._frames_fed += 1
+        if (self.checkpoint_every
+                and self._frames_fed % self.checkpoint_every == 0):
+            path = os.path.join(self.out_dir, "checkpoint_atlas.npz")
+            os.makedirs(self.out_dir, exist_ok=True)
+            return self.system.save_atlas(path)
+        return None
 
     def filtered_cloud(self) -> np.ndarray:
         return out_mod.filter_point_cloud(self.system.get_map_pcl())

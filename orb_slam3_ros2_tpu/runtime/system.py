@@ -104,6 +104,7 @@ class System:
         use_viewer: bool = False,
         map_cfg: Optional[ms.MapConfig] = None,
         init_frame: int = 0,
+        load_atlas: Optional[str] = None,
     ):
         del init_frame
         # vocab ctor slot = reference's ORBvoc.txt path
@@ -139,7 +140,7 @@ class System:
         # Atlas resume: `System.LoadAtlasFromFile` semantics -- "if LoadFile
         # doesn't exist ... create new Atlas from scratch"
         # (`/root/reference/config/Stereo/EuRoC.yaml:7-13`)
-        load = self.settings.load_atlas_from_file
+        load = load_atlas or self.settings.load_atlas_from_file
         if load:
             path = load if load.endswith(".npz") else load + ".npz"
             import os as _os

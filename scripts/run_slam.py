@@ -49,6 +49,11 @@ def main():
                              "imu_stereo", "rgbd"])
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--output-name", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=None,
+                    metavar="N", help="checkpoint the atlas every N frames "
+                                      "(host-failure recovery)")
+    ap.add_argument("--load-atlas", default=None, metavar="NPZ",
+                    help="resume from a saved/checkpointed atlas")
     ap.add_argument("--vocab", default=None,
                     help="trained vocabulary npz (scripts/train_vocab.py); "
                          "default: built-in projection codebook")
@@ -75,13 +80,15 @@ def main():
         "rgbd": Sensor.RGBD,
     }[args.mode]
     system = None
-    if args.vocab:
+    if args.vocab or args.load_atlas:
         from orb_slam3_ros2_tpu.runtime.system import System
 
-        system = System(args.vocab, args.settings, sensor)
+        system = System(args.vocab, args.settings, sensor,
+                        load_atlas=args.load_atlas)
     session = SlamSession(args.settings, sensor,
                           output_name=args.output_name,
-                          record_video=args.video, system=system)
+                          record_video=args.video, system=system,
+                          checkpoint_every=args.checkpoint_every)
 
     viewer = None
     if args.viewer is not None:
@@ -182,6 +189,7 @@ def main():
         for fr in frames:
             img, depth = fr.load()
             session.system.track_rgbd(img, depth, fr.t)
+            session.maybe_checkpoint()
             n += 1
             g = seq.gt_at(fr.t)
             if g is not None and session.system.get_tracking_state().value == 1:
@@ -205,6 +213,7 @@ def main():
                 for p in imu:
                     recorder.add_imu(p.t, p.gyro, p.acc)
             session.system.track_monocular(fr.load(), fr.t, imu)
+            session.maybe_checkpoint()
             t_prev = fr.t
             n += 1
             g = seq.gt_at(fr.t)

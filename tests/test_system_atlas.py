@@ -124,3 +124,24 @@ def test_loaded_map_never_discarded_on_loss(rendered, tmp_path):
     for k in range(other.shape[0]):
         sys2.track_monocular(other[k], 500.0 + float(ts2[k]))
     assert sys2.atlas.n_maps() == 2  # frozen loaded map + fresh active map
+
+
+def test_session_periodic_checkpoint(rendered, tmp_path):
+    """SlamSession(checkpoint_every=N) writes a resumable atlas mid-run
+    (host-failure recovery, SURVEY §5)."""
+    import os as _os
+
+    from orb_slam3_ros2_tpu.runtime.session import SlamSession
+
+    images, _, _, ts = rendered
+    sess = SlamSession(SETTINGS, Sensor.MONOCULAR, output_name="ckpt_t",
+                       output_root=str(tmp_path), checkpoint_every=8)
+    for k in range(18):
+        sess.feed(images[k], float(ts[k]))
+    ckpt = _os.path.join(str(tmp_path), "ckpt_t", "checkpoint_atlas.npz")
+    assert _os.path.isfile(ckpt)
+
+    sys2 = System(None, SETTINGS, Sensor.MONOCULAR,
+                  map_cfg=sess.system.map_cfg, load_atlas=ckpt)
+    assert int(sys2.map.n_kf) >= 1
+    assert sys2.get_tracking_state() == TrackingState.LOST  # awaiting reloc
