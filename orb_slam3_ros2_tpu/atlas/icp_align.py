@@ -116,7 +116,14 @@ def icp_point_to_plane(
         xi = -cholesky_solve_small(H, g)
         R, t = lie.se3_retract(R, t, xi)
         R = lie.se3_normalize(R)
-        rms = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1.0))
+        n_w = jnp.sum(w)
+        # no correspondences inside match_radius → report +inf, not a
+        # perfect-looking 0.0 (registration failed / init too far off)
+        rms = jnp.where(
+            n_w > 0,
+            jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(n_w, 1.0)),
+            jnp.inf,
+        )
         inl = jnp.sum((dist_v < match_radius).astype(jnp.float32)) / (
             jnp.maximum(jnp.sum(src_mask), 1.0)
         )

@@ -67,9 +67,10 @@ class SequenceRecorder:
         ns = int(round(t * 1e9))
         name = f"{ns}.png"
         _write_png(os.path.join(self._dirs[0], name), img)
-        if self.stereo and img_right is not None:
+        has_right = self.stereo and img_right is not None
+        if has_right:
             _write_png(os.path.join(self._dirs[1], name), img_right)
-        self._cam_rows.append((ns, name))
+        self._cam_rows.append((ns, name, has_right))
 
     def add_imu(self, t: float, gyro, acc) -> None:
         g, a = np.asarray(gyro, np.float64), np.asarray(acc, np.float64)
@@ -86,13 +87,16 @@ class SequenceRecorder:
         mav = os.path.join(self.root, "mav0")
         with open(os.path.join(mav, "cam0", "data.csv"), "w") as f:
             f.write("#timestamp [ns],filename\n")
-            for ns, name in self._cam_rows:
+            for ns, name, _ in self._cam_rows:
                 f.write(f"{ns},{name}\n")
         if self.stereo:
+            # only frames whose right image was actually captured — a csv
+            # row without its PNG would break replay
             with open(os.path.join(mav, "cam1", "data.csv"), "w") as f:
                 f.write("#timestamp [ns],filename\n")
-                for ns, name in self._cam_rows:
-                    f.write(f"{ns},{name}\n")
+                for ns, name, has_right in self._cam_rows:
+                    if has_right:
+                        f.write(f"{ns},{name}\n")
         imu_dir = os.path.join(mav, "imu0")
         os.makedirs(imu_dir, exist_ok=True)
         with open(os.path.join(imu_dir, "data.csv"), "w") as f:
@@ -169,5 +173,5 @@ def process_raw_recording(raw_root: str, out_root: str) -> str:
         ns = int(round(ti * 1e9))
         src = os.path.join(raw_root, "cam0", "data", f"{int(idx)}.png")
         shutil.copyfile(src, os.path.join(cam_dir, f"{ns}.png"))
-        rec._cam_rows.append((ns, f"{ns}.png"))
+        rec._cam_rows.append((ns, f"{ns}.png", False))
     return rec.close()

@@ -68,12 +68,14 @@ def make_block_sharded_ba(mesh, fx, fy, cx, cy, n_iters: int = 10):
         # over "lm" only, so blocks never communicate
         return jax.vmap(one_block)(R, t, X, uv, w, fixed, point_valid)
 
+    run_jit = jax.jit(run)
+
     def ba(problem: ba_mod.BAProblem) -> ba_mod.BAResult:
         B, L = problem.X.shape[0], problem.X.shape[1]
         nk, nl = mesh.shape[kf], mesh.shape[lm]
         assert B % nk == 0, f"block count {B} not divisible by kf axis {nk}"
         assert L % nl == 0, f"landmarks {L} not divisible by lm axis {nl}"
-        R, t, X, cost = jax.jit(run)(
+        R, t, X, cost = run_jit(
             problem.R, problem.t, problem.X, problem.uv, problem.w,
             problem.fixed, problem.point_valid,
         )

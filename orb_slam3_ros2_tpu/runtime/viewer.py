@@ -97,7 +97,10 @@ tick();
 class LiveViewer:
     """Background HTTP viewer over a running System."""
 
-    def __init__(self, system, port: int = 8400, max_points: int = 4000):
+    def __init__(self, system, port: int = 8400, max_points: int = 4000,
+                 host: str = "127.0.0.1"):
+        # loopback by default: the map/trajectory stream is unauthenticated,
+        # so external exposure must be an explicit choice (host="0.0.0.0")
         self.system = system
         self.max_points = max_points
         viewer = self
@@ -123,7 +126,7 @@ class LiveViewer:
                 self.end_headers()
                 self.wfile.write(body)
 
-        self.server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self.server = ThreadingHTTPServer((host, port), Handler)
         self.port = self.server.server_address[1]
         self.thread = threading.Thread(target=self.server.serve_forever,
                                        daemon=True)

@@ -119,6 +119,10 @@ def main():
         prof_ctx.enter_context(tracing_mod.capture(args.jax_profile))
     t_start = time.perf_counter()
     n = 0
+    if args.mode == "rgbd" and (args.synthetic or args.camera
+                                or args.video or args.record):
+        ap.error("--mode rgbd supports --dataset replay only (no "
+                 "--synthetic/--camera/--video/--record yet)")
     if args.synthetic:
         if "stereo" in args.mode:
             ap.error("--synthetic supports monocular modes only "
@@ -170,7 +174,11 @@ def main():
         src = args.camera
         if src.isdigit():
             src = int(src)
-        cam = cs.OpenCVCameraSource(src, info)
+        # raw frames in: the engine undistorts extracted keypoints against
+        # the settings' distortion model, so pre-rectifying here would
+        # correct twice (rectified output stays available for CameraInfo
+        # consumers via rectify=True)
+        cam = cs.OpenCVCameraSource(src, info, rectify=False)
         for img, t in cam.frames():
             if args.max_frames and n >= args.max_frames:
                 break
@@ -208,11 +216,12 @@ def main():
             if "imu" in args.mode and t_prev is not None:
                 tt, gg, aa = seq.imu_between(t_prev, fr.t)
                 imu = [ImuPoint(a, g, t) for t, g, a in zip(tt, gg, aa)]
+            img = fr.load()
             if recorder is not None:
-                recorder.add_frame(fr.load(), fr.t)
+                recorder.add_frame(img, fr.t)
                 for p in imu:
                     recorder.add_imu(p.t, p.gyro, p.acc)
-            session.system.track_monocular(fr.load(), fr.t, imu)
+            session.system.track_monocular(img, fr.t, imu)
             session.maybe_checkpoint()
             t_prev = fr.t
             n += 1
