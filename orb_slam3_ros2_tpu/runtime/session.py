@@ -73,12 +73,9 @@ class SlamSession:
         self.pose_history.append((t, T))
         self.maybe_checkpoint()
         if self.video is not None:
-            feats = self.system.last_frame_feats
-            frame = out_mod.annotate_frame(
-                np.asarray(img, np.uint8),
-                np.asarray(feats.uv), np.asarray(feats.mask),
-            )
-            self.video.write(frame)
+            frame = self.system.get_pretty_frame(np.asarray(img, np.uint8))
+            if frame is not None:
+                self.video.write(frame)
         return T
 
     def maybe_checkpoint(self) -> Optional[str]:

@@ -684,6 +684,21 @@ class System:
         valid = np.asarray(self.map.lm_valid)
         return X[valid]
 
+    def get_pretty_frame(self, img: Optional[np.ndarray] = None
+                         ) -> Optional[np.ndarray]:
+        """Annotated tracking image — fork `getPrettyFrame` parity
+        (`src/imu_mono_realsense.cpp:340`): the last frame with detected
+        keypoints overlaid, for the video recorder / viewer. `img` supplies
+        the frame pixels (the engine keeps features, not images)."""
+        if self.last_frame_feats is None or img is None:
+            return None
+        from orb_slam3_ros2_tpu.runtime import outputs as out_mod
+
+        f = self.last_frame_feats
+        return out_mod.annotate_frame(
+            np.asarray(img, np.uint8), np.asarray(f.uv), np.asarray(f.mask)
+        )
+
     def get_tracking_state(self) -> TrackingState:
         return self.state
 
