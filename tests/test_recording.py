@@ -105,3 +105,25 @@ def test_opencv_camera_source_video(tmp_path):
     img, t = got[0]
     assert img.shape == (48, 64) and img.dtype == np.uint8
     assert t > 0
+
+
+def test_make_aprilgrid_roundtrip(tmp_path):
+    """Generated calibration target (reference aprilgrid spec parity):
+    every tag on the board must be detectable by the AprilTag detector."""
+    cv2 = pytest.importorskip("cv2")
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "target")
+    subprocess.run(
+        [_sys.executable, "scripts/make_aprilgrid.py", "--out", out,
+         "--cols", "4", "--rows", "3"],
+        check=True, capture_output=True,
+    )
+    spec = open(f"{out}/aprilgrid.yaml").read()
+    assert "aprilgrid" in spec and "tagCols: 4" in spec
+    img = cv2.imread(f"{out}/aprilgrid.png", 0)
+    d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
+    corners, ids, _ = cv2.aruco.ArucoDetector(d).detectMarkers(img)
+    assert ids is not None and len(ids) == 12
+    assert sorted(int(i) for i in ids.ravel()) == list(range(12))
