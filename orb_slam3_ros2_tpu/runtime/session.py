@@ -110,6 +110,21 @@ class SlamSession:
                 )
         return path
 
+    def save_trajectory_kitti(self, path: Optional[str] = None) -> str:
+        """KITTI-format trajectory (12 numbers per row: flattened 3x4
+        world-from-camera [R|t]) — upstream `SaveTrajectoryKITTI` parity,
+        the KITTI odometry benchmark's input format."""
+        path = path or os.path.join(self.out_dir,
+                                    f"{self.name}_traj_kitti.txt")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            for _, T in self.system.get_frame_trajectory():
+                R, tt = T[:3, :3], T[:3, 3]
+                Rwc, twc = R.T, -R.T @ tt
+                row = np.column_stack([Rwc, twc]).ravel()
+                f.write(" ".join(f"{v:.6e}" for v in row) + "\n")
+        return path
+
     def shutdown(self) -> dict:
         """Save artifacts (reference on_shutdown hook :158-170)."""
         artifacts = {}

@@ -89,3 +89,25 @@ def test_native_filter_matches_scipy_oracle():
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=0)
     assert 0 < len(got) < len(pts)
+
+
+def test_kitti_trajectory_export(tmp_path):
+    """KITTI 3x4 [R|t] rows, world-from-camera (SaveTrajectoryKITTI)."""
+    from orb_slam3_ros2_tpu.io import synthetic
+    from orb_slam3_ros2_tpu.runtime.session import SlamSession
+    from orb_slam3_ros2_tpu.runtime.system import Sensor
+
+    images, R_gt, t_gt, ts = synthetic.render_sequence(
+        n_frames=12, width=320, height=240, fx=260.0, fy=260.0,
+        fps=10.0, seed=1, traj_scale=1.6,
+    )
+    sess = SlamSession("tests/data/synth_cam.yaml", Sensor.MONOCULAR,
+                       output_name="kitti_t", output_root=str(tmp_path))
+    for k in range(images.shape[0]):
+        sess.feed(images[k], float(ts[k]))
+    path = sess.save_trajectory_kitti()
+    rows = np.loadtxt(path)
+    assert rows.shape[1] == 12
+    # each row is a valid rotation | translation
+    M = rows[-1].reshape(3, 4)
+    np.testing.assert_allclose(M[:, :3] @ M[:, :3].T, np.eye(3), atol=1e-4)
