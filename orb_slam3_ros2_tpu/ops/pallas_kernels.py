@@ -203,11 +203,17 @@ TILE_F = 32  # fused-pass band height (>= 2*HALO_F so prev/next supply
 # halos; 64 blows the 16M scoped-VMEM limit via the sparse-table live set)
 
 
-def _make_frontend_kernel(H: int, W: int):
+def _make_frontend_kernel(H: int, W: int, with_moments: bool = True):
     """Fused per-level frontend pass producing FAST score, 3×3-NMS keep
-    mask, IC moment maps (m01, m10 over the radius-15 disc, cf.
+    mask, optionally IC moment maps (m01, m10 over the radius-15 disc, cf.
     orb_descriptor.moment_maps), and the 7×7 Gaussian blur — everything the
     extractor needs per level except the final per-keypoint lookups.
+
+    `with_moments=False` drops the moment maps: the lane prefix sums plus
+    31 shifted-difference rows are ~2/3 of the kernel's vector ops, and the
+    extractor only ever reads the maps at ≤budget keypoints — it is much
+    cheaper to gather raw patches at those keypoints and take exact disc
+    moments there (orb_descriptor.orientations).
 
     The banded halo is assembled from three auto-pipelined block inputs
     (previous/current/next TILE_F-row bands) so Pallas prefetches the next
@@ -218,8 +224,11 @@ def _make_frontend_kernel(H: int, W: int):
     HF = HALO_F
     TILE = TILE_F
 
-    def kernel(prev_ref, cur_ref, next_ref,
-               score_ref, keep_ref, m01_ref, m10_ref, blur_ref):
+    def kernel(prev_ref, cur_ref, next_ref, *out_refs):
+        if with_moments:
+            score_ref, keep_ref, m01_ref, m10_ref, blur_ref = out_refs
+        else:
+            score_ref, keep_ref, blur_ref = out_refs
         i = pl.program_id(0)
 
         if True:  # keep the original body indentation
@@ -277,6 +286,21 @@ def _make_frontend_kernel(H: int, W: int):
 
             # ---- IC moment maps over the radius-15 disc ----
             # inclusive row prefix sums via log-shift adds along lanes
+            if with_moments:
+                _emit_moments(a, m01_ref, m10_ref)
+
+            # ---- 7×7 Gaussian blur ----
+            v = jnp.zeros((TILE, W + 8), jnp.float32)
+            for t in range(7):
+                v = v + taps[t] * a[HF - 3 + t:HF - 3 + t + TILE,
+                                    HF - 4:HF + 4 + W]
+            out = jnp.zeros((TILE, W), jnp.float32)
+            for t in range(7):
+                out = out + taps[t] * v[:, 1 + t:1 + t + W]
+            blur_ref[:] = out
+
+    def _emit_moments(a, m01_ref, m10_ref):
+        if True:  # keep original indentation below
             lanes = a.shape[1]
             wx = (jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
                   .astype(jnp.float32) - float(HF))
@@ -309,23 +333,15 @@ def _make_frontend_kernel(H: int, W: int):
             m01_ref[:] = m01
             m10_ref[:] = mxw - msum * xout
 
-            # ---- 7×7 Gaussian blur ----
-            v = jnp.zeros((TILE, W + 8), jnp.float32)
-            for t in range(7):
-                v = v + taps[t] * a[HF - 3 + t:HF - 3 + t + TILE,
-                                    HF - 4:HF + 4 + W]
-            out = jnp.zeros((TILE, W), jnp.float32)
-            for t in range(7):
-                out = out + taps[t] * v[:, 1 + t:1 + t + W]
-            blur_ref[:] = out
-
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _frontend_call(H: int, W: int, interpret: bool):
+def _frontend_call(H: int, W: int, interpret: bool,
+                   with_moments: bool = True):
     Hp = _cdiv(H, TILE_F) * TILE_F
     wp = _wpad_f(W)
+    n_out = 5 if with_moments else 3
     # the padded image has one extra TILE_F band at top and bottom; block
     # index i of the padded array ↔ image band i-1
     in_band = lambda off: pl.BlockSpec(
@@ -335,13 +351,13 @@ def _frontend_call(H: int, W: int, interpret: bool):
     out_band = pl.BlockSpec((TILE_F, W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_frontend_kernel(H, W),
+        _make_frontend_kernel(H, W, with_moments),
         grid=(Hp // TILE_F,),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((Hp, W), jnp.float32) for _ in range(5)
+            jax.ShapeDtypeStruct((Hp, W), jnp.float32) for _ in range(n_out)
         ),
         in_specs=[in_band(0), in_band(1), in_band(2)],
-        out_specs=(out_band,) * 5,
+        out_specs=(out_band,) * n_out,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),  # bands are independent —
@@ -374,6 +390,22 @@ def frontend_pass(img: jnp.ndarray, interpret: bool | None = None):
     call = _frontend_call(H, W, bool(interpret))
     score, keepf, m01, m10, blur = call(padded, padded, padded)
     return (score[:H], keepf[:H] > 0.5, m01[:H], m10[:H], blur[:H])
+
+
+def frontend_pass_lite(img: jnp.ndarray, interpret: bool | None = None):
+    """(H, W) image -> (score, keep, blurred): the fused band pass WITHOUT
+    the full-image IC moment maps (the extractor computes orientation from
+    gathered raw patches instead — see _make_frontend_kernel docstring).
+    jnp composition fallback off-TPU; `interpret` forces the interpreter."""
+    if interpret is None and not _on_tpu():
+        score = fast_ops.fast_score(img)
+        return score, fast_ops.nms3x3(score), pyr_ops.gaussian_blur(img)
+    H, W = img.shape
+    Hp = _cdiv(H, TILE_F) * TILE_F
+    padded = _pad_for_tiles_f(img, Hp)
+    call = _frontend_call(H, W, bool(interpret), with_moments=False)
+    score, keepf, blur = call(padded, padded, padded)
+    return (score[:H], keepf[:H] > 0.5, blur[:H])
 
 
 def _on_tpu() -> bool:
