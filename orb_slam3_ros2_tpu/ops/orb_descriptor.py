@@ -114,12 +114,17 @@ def gather_patches_multi(imgs, yx: jnp.ndarray):
     cols = start[:, 1, None] + dr[None, :]
     onehot = (cols[:, :, None] ==
               jnp.arange(W, dtype=jnp.int32)[None, None, :])
-    oh = onehot.astype(imgs[0].dtype)
+    # bf16 rows + one-hot: halves the HBM traffic of the column-select
+    # einsums and doubles MXU rate. Precision is free here — describe()
+    # already rounds patch intensities to bf16 before its matmul, and the
+    # IC moments sum ~700 ±0.5-rounded values (µrad-scale angle noise).
+    oh = onehot.astype(jnp.bfloat16)
     out = []
     for im in imgs:
-        rows = im[ridx].reshape(N, PATCH, W)
+        rows = im[ridx].reshape(N, PATCH, W).astype(jnp.bfloat16)
         out.append(jnp.einsum("nrw,ncw->nrc", rows, oh,
-                              precision=jax.lax.Precision.DEFAULT))
+                              precision=jax.lax.Precision.DEFAULT,
+                              preferred_element_type=jnp.float32))
     return tuple(out)
 
 
