@@ -7,8 +7,9 @@ subscriptions: image (RELIABLE, :116-120), IMU (BEST_EFFORT, :121-128)
 publications (10 Hz timer, :370-496): `orb_odom` TF + nav_msgs/Odometry
 (:398-422), PoseArray trajectory (:424-434), PointCloud2 filtered map
 (:460-480); plus `orb_camera_info` at ~30 Hz from the settings YAML
-(`src/orb_camera_info.cpp:16-39`) and the offline cloud republisher
-(`src/visualize.cpp:70-77`).
+(`src/orb_camera_info.cpp:16-39`), the offline cloud republisher
+(`src/visualize.cpp:70-77`), and the Madgwick IMU orientation filter the
+rtabmap stack inserts (`launch/rtabmap.launch.py:67-84`).
 
 This container has no rclpy; the module is import-gated so the same code
 runs as a real ROS 2 node where ROS is present and is unit-tested through
@@ -160,6 +161,51 @@ if HAVE_ROS:  # pragma: no cover - requires a ROS 2 environment
             msg.is_dense = True
             msg.data = self._pts.tobytes()
             self._pub.publish(msg)
+
+    class MadgwickImuNode(Node):
+        """`imu_filter_madgwick` equivalent: fill IMU orientation via the
+        jitted Madgwick AHRS filter (`launch/rtabmap.launch.py:67-84`:
+        `orb_camera/imu` in, orientation-filled `rtabmap/imu` out,
+        use_mag=false, ENU world frame)."""
+
+        def __init__(self, in_topic: str = "orb_camera/imu",
+                     out_topic: str = "rtabmap/imu", beta: float = 0.1,
+                     window: int = 16):
+            super().__init__("imu_filter_madgwick")
+            from orb_slam3_ros2_tpu.imu.madgwick import MadgwickFilter
+
+            self._filter = MadgwickFilter(beta=beta)
+            self._window = int(window)
+            self._buf = []  # (msg, t, gyro, acc) pending one jitted scan
+            self._pub = self.create_publisher(Imu, out_topic, 10)
+            self.create_subscription(Imu, in_topic, self._imu_cb, 50)
+
+        def _imu_cb(self, msg):
+            t = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
+            g = (msg.angular_velocity.x, msg.angular_velocity.y,
+                 msg.angular_velocity.z)
+            a = (msg.linear_acceleration.x, msg.linear_acceleration.y,
+                 msg.linear_acceleration.z)
+            if not all(np.isfinite(v) for v in (*g, *a)):
+                return  # NaN rejection, src/imu_mono_realsense.cpp:355-366
+            self._buf.append((msg, t, g, a))
+            if len(self._buf) >= self._window:
+                self._flush()
+
+        def _flush(self):
+            msgs = self._buf
+            self._buf = []
+            qs = np.asarray(self._filter.update(
+                np.array([b[2] for b in msgs], np.float32),
+                np.array([b[3] for b in msgs], np.float32),
+                np.array([b[1] for b in msgs]),
+            ))
+            for (msg, _, _, _), (w, x, y, z) in zip(msgs, qs):
+                msg.orientation.w = float(w)
+                msg.orientation.x = float(x)
+                msg.orientation.y = float(y)
+                msg.orientation.z = float(z)
+                self._pub.publish(msg)
 
     def main(args=None):  # pragma: no cover
         import sys
