@@ -12,6 +12,11 @@ def test_entry_compiles_and_runs():
     assert R.shape == (3, 3) and t.shape == (3,)
     assert np.isfinite(np.asarray(R)).all()
     assert np.isfinite(np.asarray(t)).all()
+    # the example is a self-consistent solve (landmarks backprojected from
+    # the same image's features at identity) — it must actually match
+    assert int(n_inliers) > 100
+    np.testing.assert_allclose(np.asarray(R), np.eye(3), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t), 0.0, atol=1e-3)
 
 
 def test_dryrun_multichip_small():
