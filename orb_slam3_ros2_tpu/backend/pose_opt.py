@@ -51,9 +51,19 @@ def _normal_equations(R, t, X, uv, w, fx, fy, cx, cy):
     J = proj.J_pose  # (N, 2, 6)
     H = jnp.einsum("nai,n,naj->ij", J, ww, J)
     b = jnp.einsum("nai,n,na->i", J, ww, proj.r)
-    cost = jnp.sum(jnp.minimum(r2, 2.0 * float(HUBER_MONO) * jnp.sqrt(
-        jnp.maximum(r2, 1e-12)) - float(HUBER_MONO) ** 2) * (w > 0))
+    cost = jnp.sum(_huber_rho(r2, float(HUBER_MONO)) * (w > 0))
     return H, b, cost, r2, proj.depth
+
+
+def _huber_rho(chi2: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """Huber loss on the squared residual: chi2 inside |r| <= δ, linear
+    2δ|r| − δ² outside (matches the IRLS weights in res.huber_weight, so the
+    LM accept/reject cost agrees with the system it solves)."""
+    return jnp.where(
+        chi2 <= delta * delta,
+        chi2,
+        2.0 * delta * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - delta * delta,
+    )
 
 
 def _eval_system(R, t, X, uv, inv_sigma2, w_active, fx, fy, cx, cy):
@@ -76,9 +86,7 @@ def _eval_system(R, t, X, uv, inv_sigma2, w_active, fx, fy, cx, cy):
     # contraction — half the big einsums of separate H/b
     Ja = jnp.concatenate([proj.J_pose, proj.r[..., None]], axis=-1)
     G = jnp.einsum("nai,n,naj->ij", Ja, ww, Ja)
-    rho = jnp.minimum(chi2, 2.0 * delta * jnp.sqrt(
-        jnp.maximum(chi2, 1e-12)) - delta * delta)
-    cost = jnp.sum(rho * (w_active > 0))
+    cost = jnp.sum(_huber_rho(chi2, delta) * (w_active > 0))
     return G[:6, :6], G[:6, 6], cost, chi2, pos
 
 
@@ -161,8 +169,7 @@ def optimize_pose(
     )
 
     inliers = (chi2v <= chi2_th) & posv & mask
-    rho = jnp.minimum(chi2v, 2.0 * float(HUBER_MONO) * jnp.sqrt(
-        jnp.maximum(chi2v, 1e-12)) - float(HUBER_MONO) ** 2)
+    rho = _huber_rho(chi2v, float(HUBER_MONO))
     return PoseOptResult(
         R=R, t=t, inliers=inliers,
         n_inliers=jnp.sum(inliers).astype(jnp.int32),

@@ -166,19 +166,44 @@ if HAVE_ROS:  # pragma: no cover - requires a ROS 2 environment
         """`imu_filter_madgwick` equivalent: fill IMU orientation via the
         jitted Madgwick AHRS filter (`launch/rtabmap.launch.py:67-84`:
         `orb_camera/imu` in, orientation-filled `rtabmap/imu` out,
-        use_mag=false, ENU world frame)."""
+        use_mag=false, world_frame=odom, publish_tf=true).
+
+        The reference node republishes each message immediately; this node
+        does the same by default (window=1) — downstream rtabmap sync needs
+        a steady stream. A window > 1 batches samples into one jitted scan
+        (replay / offline throughput mode); a timer flushes any partial
+        window so a paused stream never strands samples. With
+        `publish_tf=True` the filtered odom→base_link orientation is also
+        broadcast on TF, matching the reference launch parameters."""
 
         def __init__(self, in_topic: str = "orb_camera/imu",
                      out_topic: str = "rtabmap/imu", beta: float = 0.1,
-                     window: int = 16):
+                     window: int = 1, publish_tf: bool = True,
+                     world_frame: str = "odom",
+                     base_link_frame: str = "base_link"):
             super().__init__("imu_filter_madgwick")
             from orb_slam3_ros2_tpu.imu.madgwick import MadgwickFilter
 
             self._filter = MadgwickFilter(beta=beta)
-            self._window = int(window)
+            self._window = max(int(window), 1)
             self._buf = []  # (msg, t, gyro, acc) pending one jitted scan
             self._pub = self.create_publisher(Imu, out_topic, 10)
             self.create_subscription(Imu, in_topic, self._imu_cb, 50)
+            self._world_frame = world_frame
+            self._base_link_frame = base_link_frame
+            self._tf = None
+            if publish_tf:
+                try:
+                    from tf2_ros import TransformBroadcaster  # type: ignore
+
+                    self._tf = TransformBroadcaster(self)
+                except ImportError:
+                    self.get_logger().warning(
+                        "tf2_ros unavailable; Madgwick TF disabled")
+            # stream-gap flush: partial windows publish promptly even when
+            # the IMU stream pauses mid-window
+            if self._window > 1:
+                self.create_timer(0.05, self._flush_pending)
 
         def _imu_cb(self, msg):
             t = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
@@ -190,6 +215,10 @@ if HAVE_ROS:  # pragma: no cover - requires a ROS 2 environment
                 return  # NaN rejection, src/imu_mono_realsense.cpp:355-366
             self._buf.append((msg, t, g, a))
             if len(self._buf) >= self._window:
+                self._flush()
+
+        def _flush_pending(self):
+            if self._buf:
                 self._flush()
 
         def _flush(self):
@@ -206,6 +235,19 @@ if HAVE_ROS:  # pragma: no cover - requires a ROS 2 environment
                 msg.orientation.y = float(y)
                 msg.orientation.z = float(z)
                 self._pub.publish(msg)
+            if self._tf is not None and msgs:
+                from geometry_msgs.msg import TransformStamped  # type: ignore
+
+                tf = TransformStamped()
+                tf.header.stamp = msgs[-1][0].header.stamp
+                tf.header.frame_id = self._world_frame
+                tf.child_frame_id = self._base_link_frame
+                w, x, y, z = (float(v) for v in qs[-1])
+                tf.transform.rotation.w = w
+                tf.transform.rotation.x = x
+                tf.transform.rotation.y = y
+                tf.transform.rotation.z = z
+                self._tf.sendTransform(tf)
 
     def main(args=None):  # pragma: no cover
         import sys
