@@ -287,6 +287,46 @@ def keyframe_redundancy(m: MapState, min_obs: int = 4) -> jnp.ndarray:
     )
 
 
+def observation_matrix(m: MapState, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Dense (K, L) 0/1 keyframe-observes-landmark indicator.
+
+    The TPU-native encoding of the reference's per-KeyFrame MapPoint
+    observation lists: one scatter from the association table. bfloat16 by
+    default — 0/1 entries are exact and the downstream covisibility matmul
+    rides the MXU fast path with an f32 accumulator.
+    """
+    K, N = m.kf_obs_lm.shape
+    L = m.lm_valid.shape[0]
+    has = (m.kf_obs_lm >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    obs_safe = jnp.where(has, m.kf_obs_lm, L)
+    rows = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N))
+    O = jnp.zeros((K, L), dtype).at[rows, obs_safe].set(1, mode="drop")
+    return O * m.lm_valid[None, :].astype(dtype)
+
+
+def covisibility_matrix(m: MapState) -> jnp.ndarray:
+    """(K, K) covisibility weights: number of landmarks two keyframes share
+    (zero diagonal). The reference engine's central data structure — the
+    per-KeyFrame mConnectedKeyFrameWeights map maintained by
+    UpdateConnections [upstream]; here it is ONE MXU matmul over the dense
+    observation indicator (O @ O.T), recomputed from the association table
+    whenever needed, so it can never drift out of sync with the map.
+
+    Drives local-BA window selection, essential-graph edges, loop-candidate
+    exclusion, and map partitioning (SURVEY.md §7 hard part 1).
+    """
+    O = observation_matrix(m)
+    C = jax.lax.dot_general(
+        O, O,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,  # 0/1 entries exact in bf16
+    )
+    K = C.shape[0]
+    C = C * (1.0 - jnp.eye(K, dtype=C.dtype))
+    return C.astype(jnp.int32)
+
+
 def observation_table(m: MapState, kf_ids: jnp.ndarray):
     """Build the dense BA observation layout for a set of keyframes.
 

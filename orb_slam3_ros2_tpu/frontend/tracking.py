@@ -226,6 +226,76 @@ def triangulate_between(
     return X, m.kf_bits[kf_a], accept, jnp.arange(uva.shape[0]), idx_b
 
 
+def select_local_window(
+    m: ms.MapState,
+    new_kf: jnp.ndarray,  # () int32 — anchor keyframe (usually the newest)
+    n_window: int,
+    n_fixed_ring: int,
+):
+    """Covisibility-driven local-BA window (upstream Optimizer::LocalBundle-
+    Adjustment builds lLocalKeyFrames from GetVectorCovisibleKeyFrames and
+    holds the second-ring observers fixed [upstream]; the fork's async
+    LocalMapping implies the same structure,
+    `/root/reference/src/imu_mono_realsense.cpp:485-495`).
+
+    Returns (ids (n_window + n_fixed_ring,), fixed mask): the anchor plus its
+    top-(n_window-1) covisible keyframes are optimized; the top-n_fixed_ring
+    keyframes covisible with that set (but outside it) participate as fixed
+    poses, anchoring the gauge exactly where the window connects to the rest
+    of the map. Unused slots pad with the anchor id — local_ba deactivates
+    duplicate ids past their first occurrence. Keyframe 0 (map origin) is
+    always held fixed when selected; if the window has no fixed ring at all,
+    its lowest-id member is pinned so the solve stays well-posed.
+    """
+    C = ms.covisibility_matrix(m).astype(jnp.float32)  # (K, K)
+    K = C.shape[0]
+    ids_all = jnp.arange(K, dtype=jnp.int32)
+
+    w_new = jnp.where(m.kf_valid & (ids_all != new_kf), C[new_kf], -1.0)
+    top_w, top_ids = jax.lax.top_k(w_new, n_window - 1)
+    sel_ok = top_w > 0
+    sel = jnp.concatenate([
+        new_kf[None].astype(jnp.int32),
+        jnp.where(sel_ok, top_ids.astype(jnp.int32), new_kf),
+    ])
+    sel_active = jnp.concatenate([jnp.ones((1,), bool), sel_ok])
+
+    in_sel = jnp.zeros((K,), bool).at[sel].set(True)
+    ring_w = jnp.sum(C[sel] * sel_active[:, None], axis=0)
+    ring_w = jnp.where(in_sel | ~m.kf_valid, -1.0, ring_w)
+    ring_top_w, ring_ids = jax.lax.top_k(ring_w, n_fixed_ring)
+    ring_ok = ring_top_w > 0
+    ring = jnp.where(ring_ok, ring_ids.astype(jnp.int32), new_kf)
+
+    ids = jnp.concatenate([sel, ring])
+    fixed = jnp.concatenate([
+        jnp.zeros((n_window,), bool), jnp.ones((n_fixed_ring,), bool)
+    ])
+    # gauge anchors: the map origin whenever it is in the window; otherwise,
+    # with no fixed ring available, pin the window's oldest member
+    fixed = fixed | (ids == 0)
+    no_ring = ~jnp.any(ring_ok)
+    oldest_pos = jnp.argmin(jnp.where(sel_active, sel, K))
+    fixed = fixed.at[oldest_pos].set(fixed[oldest_pos] | no_ring)
+    return ids, fixed
+
+
+def best_covisible(m: ms.MapState, kf_id: jnp.ndarray, exclude: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Most covisible valid keyframe with `kf_id`, excluding ids in the
+    (E,) `exclude` vector; falls back to kf_id - 1 when nothing shares
+    landmarks (fresh map). Used to pick triangulation partners the way
+    upstream CreateNewMapPoints walks GetBestCovisibilityKeyFrames."""
+    C = ms.covisibility_matrix(m)
+    K = C.shape[0]
+    ids_all = jnp.arange(K, dtype=jnp.int32)
+    w = jnp.where(m.kf_valid & (ids_all != kf_id), C[kf_id], -1)
+    w = jnp.where((ids_all[:, None] == exclude[None, :]).any(-1), -1, w)
+    best = jnp.argmax(w).astype(jnp.int32)
+    has = w[best] > 0
+    return jnp.where(has, best, jnp.maximum(kf_id - 1, 0))
+
+
 def local_ba(
     m: ms.MapState,
     window_ids: jnp.ndarray,  # (W,) keyframe ids (pad by repeating an id)

@@ -3,14 +3,19 @@ pose-graph correction, landmark transport.
 
 Reference behavior [upstream `LoopClosing` thread]: every new keyframe is
 queried against the BoW database (minus the covisible neighborhood); a
-candidate passes descriptor matching + `Sim3Solver` RANSAC; on acceptance
-the essential graph is optimized over Sim3 (7-DoF mono / 6-DoF inertial) and
-map points are transported through their reference keyframe's correction;
-a global BA follows. The fork exposes a `loopClosing` on/off switch
+candidate passes descriptor matching + `Sim3Solver` RANSAC and must be
+temporally consistent across consecutive keyframes; on acceptance the
+essential graph — odometry (spanning-tree) edges + covisibility edges +
+the loop edge — is optimized over Sim3 (7-DoF mono / 6-DoF inertial), map
+points are transported through their reference keyframe's correction, and
+duplicated landmarks across the seam are fused; a global BA follows. The
+fork exposes a `loopClosing` on/off switch
 (`/root/reference/config/Monocular-Inertial/RealSense_D435i.yaml:9`).
 
 TPU-native: fixed-capacity edge lists over the map's keyframe capacity; the
-host only sequences the stages (all compute jitted). The odometry edges are
+covisibility edges come from the dense covisibility matrix (one MXU matmul,
+atlas.map_state.covisibility_matrix); relative-pose measurements for the
+whole edge list are one batched jitted computation. The odometry edges are
 built from the *pre-correction* poses so drift is preserved as relative
 constraints, exactly like the reference.
 """
@@ -51,6 +56,32 @@ def _match_kf_pair(m: ms.MapState, kf_a, kf_b):
     return res.idx
 
 
+def matched_landmark_pairs(m: ms.MapState, kf_a: int, kf_b: int):
+    """3D-3D landmark correspondences implied by a feature match between two
+    keyframes: (pairs_a (N,3), pairs_b (N,3), mask (N,)) — fully vectorized
+    (the reference walks per-match MapPoint pointers; here it is three
+    gathers over the association table)."""
+    idx = np.asarray(_match_kf_pair(m, jnp.asarray(kf_a), jnp.asarray(kf_b)))
+    obs_a = np.asarray(m.kf_obs_lm[kf_a])
+    obs_b = np.asarray(m.kf_obs_lm[kf_b])
+    lm_X = np.asarray(m.lm_X)
+    lm_valid = np.asarray(m.lm_valid)
+
+    valid = idx >= 0
+    j = np.where(valid, idx, 0)
+    la = obs_a
+    lb = obs_b[j]
+    mask = (
+        valid & (la >= 0) & (lb >= 0)
+        & lm_valid[np.maximum(la, 0)] & lm_valid[np.maximum(lb, 0)]
+    )
+    pairs_a = np.where(mask[:, None], lm_X[np.maximum(la, 0)], 0.0).astype(
+        np.float32)
+    pairs_b = np.where(mask[:, None], lm_X[np.maximum(lb, 0)], 0.0).astype(
+        np.float32)
+    return pairs_a, pairs_b, mask
+
+
 def detect_and_verify(
     m: ms.MapState,
     new_kf: int,
@@ -60,26 +91,7 @@ def detect_and_verify(
     min_inliers: int = 20,
 ) -> Optional[LoopCandidate]:
     """Geometric verification of a BoW candidate via 3D-3D Sim3 RANSAC."""
-    idx = np.asarray(_match_kf_pair(m, jnp.asarray(new_kf), jnp.asarray(cand_kf)))
-    obs_a = np.asarray(m.kf_obs_lm[new_kf])
-    obs_b = np.asarray(m.kf_obs_lm[cand_kf])
-    lm_X = np.asarray(m.lm_X)
-    lm_valid = np.asarray(m.lm_valid)
-
-    N = idx.shape[0]
-    pairs_a = np.zeros((N, 3), np.float32)
-    pairs_b = np.zeros((N, 3), np.float32)
-    mask = np.zeros((N,), bool)
-    for i in range(N):
-        j = idx[i]
-        if j < 0:
-            continue
-        la, lb = obs_a[i], obs_b[j]
-        if la < 0 or lb < 0 or not (lm_valid[la] and lm_valid[lb]):
-            continue
-        pairs_a[i] = lm_X[la]
-        pairs_b[i] = lm_X[lb]
-        mask[i] = True
+    pairs_a, pairs_b, mask = matched_landmark_pairs(m, new_kf, cand_kf)
     if mask.sum() < min_inliers:
         return None
 
@@ -96,12 +108,52 @@ def detect_and_verify(
     )
 
 
+@jax.jit
+def _rel_se3_batch(R_old, t_old, ei, ej):
+    """Batched relative SE3 measurements S_ij = T_i ∘ T_j⁻¹ for every edge
+    (scale 1): R_rel = R_i R_jᵀ, t_rel = t_i − R_rel t_j."""
+    Ri, ti = R_old[ei], t_old[ei]
+    Rj, tj = R_old[ej], t_old[ej]
+    R_rel = jnp.einsum("eab,ecb->eac", Ri, Rj)
+    t_rel = ti - jnp.einsum("eab,eb->ea", R_rel, tj)
+    return R_rel, t_rel
+
+
+def essential_graph_edges(
+    covis: np.ndarray,  # (K, K) covisibility weights (np int)
+    n_kf: int,
+    covis_th: int = 20,
+    max_covis_edges: Optional[int] = None,
+):
+    """Edge index lists of the essential graph: the odometry chain (the
+    spanning tree of a sequential session) plus covisibility edges with
+    weight >= covis_th (upstream OptimizeEssentialGraph uses the
+    covisibility graph above minFeat=100 plus the spanning tree; the
+    threshold here is lower because our feature budget per KF is smaller).
+
+    Returns (ei, ej) int arrays, loop edge NOT included."""
+    odo_i = np.arange(1, n_kf, dtype=np.int32)
+    odo_j = odo_i - 1
+    # upper-triangle covis pairs, skipping consecutive (already in the chain)
+    C = covis[:n_kf, :n_kf]
+    ii, jj = np.nonzero(np.triu(C, k=2) >= covis_th)
+    if max_covis_edges is not None and ii.size > max_covis_edges:
+        w = C[ii, jj]
+        keep = np.argsort(-w, kind="stable")[:max_covis_edges]
+        ii, jj = ii[keep], jj[keep]
+    ei = np.concatenate([odo_i, ii.astype(np.int32)])
+    ej = np.concatenate([odo_j, jj.astype(np.int32)])
+    return ei, ej
+
+
 def close_loop(
     m: ms.MapState,
     new_kf: int,
     cand: LoopCandidate,
+    covis: Optional[np.ndarray] = None,
     fix_scale: bool = False,
     n_iters: int = 12,
+    covis_th: int = 20,
 ) -> ms.MapState:
     """Pose-graph correction + landmark transport after an accepted loop."""
     K = m.kf_R.shape[0]
@@ -111,31 +163,30 @@ def close_loop(
     t_old = np.asarray(m.kf_t)
     s_old = np.ones((K,), np.float32)
 
-    # odometry edges i -> i-1 from pre-correction poses; loop edge new->cand
-    E_cap = K + 8
+    if covis is None:
+        covis = np.asarray(ms.covisibility_matrix(m))
+    # essential graph: odometry chain + covisibility edges + loop edge;
+    # capacity 2K+8 is static per keyframe capacity (stable compiles)
+    ei_np, ej_np = essential_graph_edges(
+        covis, n_kf, covis_th=covis_th, max_covis_edges=K
+    )
+    E_cap = 2 * K + 8
+    n_e = min(len(ei_np), E_cap - 1)
     ei = np.zeros((E_cap,), np.int32)
     ej = np.zeros((E_cap,), np.int32)
-    Rm = np.tile(np.eye(3, dtype=np.float32), (E_cap, 1, 1))
-    tm = np.zeros((E_cap, 3), np.float32)
-    sm = np.ones((E_cap,), np.float32)
     ev = np.zeros((E_cap,), bool)
+    ei[:n_e] = ei_np[:n_e]
+    ej[:n_e] = ej_np[:n_e]
+    ev[:n_e] = True
 
-    def rel(i, j):
-        Rr, tr, sr = lie.sim3_compose(
-            jnp.asarray(R_old[i]), jnp.asarray(t_old[i]), jnp.asarray(1.0),
-            *lie.sim3_inverse(
-                jnp.asarray(R_old[j]), jnp.asarray(t_old[j]), jnp.asarray(1.0)
-            ),
-        )
-        return np.asarray(Rr), np.asarray(tr), float(sr)
-
-    e = 0
-    for k in range(1, n_kf):
-        Rr, tr, sr = rel(k, k - 1)
-        ei[e], ej[e] = k, k - 1
-        Rm[e], tm[e], sm[e] = Rr, tr, sr
-        ev[e] = True
-        e += 1
+    # relative measurements from pre-correction poses, one batched call
+    Rm_j, tm_j = _rel_se3_batch(
+        jnp.asarray(R_old), jnp.asarray(t_old),
+        jnp.asarray(ei), jnp.asarray(ej),
+    )
+    Rm = np.array(Rm_j)  # writable copies (the loop edge is patched in)
+    tm = np.array(tm_j)
+    sm = np.ones((E_cap,), np.float32)
 
     # loop edge: corrected pose of new KF = S_new_old ∘ S_corr⁻¹
     S_corr_inv = lie.sim3_inverse(
@@ -152,12 +203,12 @@ def close_loop(
             jnp.asarray(1.0),
         ),
     )
+    e = n_e
     ei[e], ej[e] = new_kf, cand.cand_kf
     Rm[e], tm[e], sm[e] = np.asarray(R_loop), np.asarray(t_loop), float(s_loop)
     ev[e] = True
     loop_w = np.ones((E_cap,), np.float32)
     loop_w[e] = float(max(n_kf - 1, 1))  # loop edge outweighs one odo edge
-    e += 1
 
     fixed = np.zeros((K,), bool)
     fixed[cand.cand_kf] = True

@@ -164,12 +164,12 @@ def add_keyframe(db: BowDatabase, signs: jnp.ndarray, mask: jnp.ndarray
 
 @functools.partial(jax.jit, static_argnames=("top_k",))
 def query(db: BowDatabase, signs: jnp.ndarray, mask: jnp.ndarray,
-          exclude_from: jnp.ndarray, exclude_to: jnp.ndarray,
-          top_k: int = 5):
-    """Top-k similar keyframes, excluding ids in [exclude_from, exclude_to].
-
-    The exclusion window is the covisible-neighborhood guard the reference
-    applies when proposing loop candidates [upstream KeyFrameDatabase]."""
+          exclude: jnp.ndarray, top_k: int = 5):
+    """Top-k similar keyframes; `exclude` is a (K,) bool mask of forbidden
+    keyframe slots — the covisible-neighborhood guard the reference applies
+    when proposing loop candidates (upstream KeyFrameDatabase::Detect-
+    LoopCandidates drops spConnectedKeyFrames); callers build it from the
+    covisibility matrix plus a recent-KF window."""
     idf = jnp.log(
         jnp.maximum(db.n.astype(jnp.float32), 1.0)
         / jnp.maximum(db.doc_freq, 1.0)
@@ -181,7 +181,12 @@ def query(db: BowDatabase, signs: jnp.ndarray, mask: jnp.ndarray,
         jnp.linalg.norm(vecs, axis=-1, keepdims=True), 1e-8
     )
     scores = vecs @ q  # (K,)
-    ids = jnp.arange(db.vecs.shape[0])
-    ok = db.valid & ((ids < exclude_from) | (ids > exclude_to))
+    ok = db.valid & ~exclude
     scores = jnp.where(ok, scores, -1.0)
     return jax.lax.top_k(scores, top_k)
+
+
+def exclude_window(max_kf: int, lo: int, hi: int) -> jnp.ndarray:
+    """(K,) bool mask excluding slot ids in [lo, hi] (temporal guard)."""
+    ids = jnp.arange(max_kf)
+    return (ids >= lo) & (ids <= hi)

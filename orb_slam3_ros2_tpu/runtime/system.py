@@ -92,7 +92,8 @@ class System:
     MIN_INIT_MATCHES = 90
     MIN_TRACK_INLIERS = 15
     KF_MIN_GAP = 3  # frames
-    LOCAL_WINDOW = 8
+    LOCAL_WINDOW = 8  # covisible keyframes optimized by local BA
+    LOCAL_FIXED_RING = 4  # second-ring observers held fixed in local BA
     VI_INIT_KFS = 8  # keyframes before attempting VI initialization
     VI_LOCAL_WINDOW = 6  # keyframes in the local inertial BA window
 
@@ -265,6 +266,16 @@ class System:
         self._triangulate = jax.jit(
             functools.partial(trk.triangulate_between, fx=fx, fy=fy, cx=cx, cy=cy)
         )
+        # second-partner triangulation is stricter: wide-baseline pairs match
+        # under *drifted* poses, so a loose gate mints inconsistent landmarks
+        # that drag local BA (measured: +0.023 m ATE at reproj_th=2.0 on the
+        # e2e synthetic; harm vanishes at 1.0/35)
+        self._triangulate_strict = jax.jit(
+            functools.partial(
+                trk.triangulate_between, fx=fx, fy=fy, cx=cx, cy=cy,
+                reproj_th=1.0, max_dist=35.0,
+            )
+        )
 
         self._local_ba = jax.jit(
             functools.partial(trk.local_ba, fx=fx, fy=fy, cx=cx, cy=cy),
@@ -288,6 +299,17 @@ class System:
         self._compact_kfs = jax.jit(ms.compact_keyframes)
         self._kf_redundancy = jax.jit(ms.keyframe_redundancy)
         self._merge_pre = jax.jit(pre_mod.merge)
+        # covisibility graph (upstream UpdateConnections / essential graph):
+        # recomputed on demand as one MXU matmul — see ms.covisibility_matrix
+        self._covis = jax.jit(ms.covisibility_matrix)
+        self._select_window = jax.jit(
+            functools.partial(
+                trk.select_local_window,
+                n_window=self.LOCAL_WINDOW,
+                n_fixed_ring=self.LOCAL_FIXED_RING,
+            )
+        )
+        self._best_covis = jax.jit(trk.best_covisible)
 
         @jax.jit
         def bump_counters(m, vis_inc, found_inc):
@@ -410,6 +432,8 @@ class System:
         self.n_maps_merged = 0
         self.last_loop_kf = -10**9
         self.frames_lost = 0
+        # temporal-consistency state: [(covisible group set, count), ...]
+        self._loop_consistency: List[Tuple[set, int]] = []
 
     # ---------------------------------------------------------------- atlas
 
@@ -1018,6 +1042,24 @@ class System:
             jnp.asarray(new_id, jnp.int32), fa,
             jnp.asarray(prev_id, jnp.int32), fb,
         )
+        # second triangulation partner: the most covisible keyframe beyond
+        # the temporal predecessor (upstream CreateNewMapPoints iterates
+        # GetBestCovisibilityKeyFrames; already-associated features are
+        # skipped inside triangulate_between, so no duplicates arise)
+        partner = int(self._best_covis(
+            m, jnp.asarray(new_id, jnp.int32),
+            jnp.asarray([new_id, prev_id], jnp.int32),
+        ))
+        if partner not in (new_id, prev_id) and partner >= 0:
+            X2, bits2, accept2, fa2, fb2 = self._triangulate_strict(
+                m, jnp.asarray(new_id, jnp.int32),
+                jnp.asarray(partner, jnp.int32),
+            )
+            m = self._add_lms(
+                m, X2, bits2, accept2, jnp.asarray(new_id, jnp.int32),
+                jnp.asarray(new_id, jnp.int32), fa2,
+                jnp.asarray(partner, jnp.int32), fb2,
+            )
         if stereo is not None:
             self.map = m
             self._insert_keyframe_stereo_landmarks(feats, stereo, new_id)
@@ -1035,18 +1077,15 @@ class System:
             if is_imu and self.imu_initialized and self._vi_local_ba_step():
                 pass  # joint visual-inertial window BA ran (LocalInertialBA)
             else:
-                # visual local BA: last LOCAL_WINDOW keyframes, oldest fixed
+                # visual local BA over the covisible window: the new KF plus
+                # its top covisible neighbors optimize, the second ring of
+                # observers participates fixed (upstream LocalBundleAdjustment
+                # structure; SURVEY.md §7 hard part 1)
                 m = self.map
-                W = self.LOCAL_WINDOW
-                n_kf = int(m.n_kf)
-                ids = np.clip(np.arange(n_kf - W, n_kf), 0, n_kf - 1)
-                fix = np.zeros(W, bool)
-                fix[ids <= max(n_kf - W, 0)] = True
-                fix[0] = True
-                self.map = self._local_ba(
-                    m, jnp.asarray(ids, jnp.int32), jnp.asarray(fix),
-                    n_iters=10,
+                ids, fix = self._select_window(
+                    m, jnp.asarray(new_id, jnp.int32)
                 )
+                self.map = self._local_ba(m, ids, fix, n_iters=10)
         self.map = self._cull(self.map)
         self.frames_since_kf = 0
         self.last_kf_inliers = max(n_inl, 1)
@@ -1167,6 +1206,13 @@ class System:
         if 0 <= self.last_loop_kf < old_n_kf:
             r = int(remap[self.last_loop_kf])
             self.last_loop_kf = r if r >= 0 else -10**9
+        self._loop_consistency = [
+            (g2, c) for g2, c in (
+                ({int(remap[k]) for k in g
+                  if 0 <= k < old_n_kf and remap[k] >= 0}, c)
+                for g, c in self._loop_consistency
+            ) if g2
+        ]
         # inter-KF preintegrations: preints[i] covers the interval ending at
         # old KF (old_n_kf - len + i). Merge segments spanning culled KFs
         # (IMU::Preintegrated::MergePrevious equivalent); a gap before
@@ -1193,9 +1239,15 @@ class System:
     LOOP_EXCLUDE = 12  # recent keyframes excluded from candidates
     LOOP_MIN_SCORE = 0.10
     LOOP_COOLDOWN = 10  # keyframes between accepted loops
+    # temporal consistency: a loop region must be re-detected on this many
+    # consecutive keyframes before geometric verification is attempted
+    # (upstream LoopClosing::DetectLoop, mnCovisibilityConsistencyTh; guards
+    # against single-frame perceptual aliasing)
+    LOOP_CONSISTENCY_TH = 2
 
     def _try_close_loop(self, new_kf: int, feats):
-        """BoW candidate → Sim3 verification → pose-graph correction.
+        """BoW candidates → temporal-consistency vetting → Sim3 verification
+        → essential-graph correction → seam fusion (→ global BA).
 
         Equivalent of the reference's LoopClosing thread pass per keyframe
         [upstream]; gated by the fork's `loopClosing` settings switch."""
@@ -1208,28 +1260,41 @@ class System:
             return
         if new_kf - self.last_loop_kf < self.LOOP_COOLDOWN:
             return
+        # exclusion = covisible neighborhood of the query (the reference
+        # drops spConnectedKeyFrames) + a recent temporal window
+        covis = np.asarray(self._covis(self.map))
+        K = self.map_cfg.max_kf
+        exclude = np.zeros((K,), bool)
+        exclude[covis[new_kf] > 0] = True
+        exclude[max(new_kf - self.LOOP_EXCLUDE, 0):] = True
         scores, ids = vocab_mod.query(
-            self.bow_db, feats.signs, feats.mask,
-            jnp.asarray(max(new_kf - self.LOOP_EXCLUDE, 0)),
-            jnp.asarray(self.map_cfg.max_kf),
+            self.bow_db, feats.signs, feats.mask, jnp.asarray(exclude),
             top_k=3,
         )
         scores = np.asarray(scores)
         ids = np.asarray(ids)
-        for rank in range(len(ids)):
-            if scores[rank] < self.LOOP_MIN_SCORE:
-                break
+        consistent = self._update_loop_consistency(scores, ids, covis)
+        for cand_kf in consistent:
             cand = closing_mod.detect_and_verify(
-                self.map, new_kf, int(ids[rank]),
-                jax.random.PRNGKey(self.n_frames + rank),
+                self.map, new_kf, cand_kf,
+                jax.random.PRNGKey(self.n_frames + cand_kf),
                 fix_scale=self.imu_initialized or self._metric_scale,
             )
             if cand is None:
                 continue
             self.map = closing_mod.close_loop(
-                self.map, new_kf, cand,
+                self.map, new_kf, cand, covis=covis,
                 fix_scale=self.imu_initialized or self._metric_scale
             )
+            # SearchAndFuse across the seam: duplicated landmarks created
+            # while the loop was open merge into their older counterparts
+            # (upstream LoopClosing::CorrectLoop fuses the loop KF's local
+            # window against the candidate side's map points)
+            for seam_kf in (new_kf, cand.cand_kf):
+                m2, _, _ = self._fuse(
+                    self.map, jnp.asarray(seam_kf, jnp.int32)
+                )
+                self.map = m2
             # global BA polish after the pose-graph correction (upstream
             # RunGlobalBundleAdjustment; skipped in inertial mode, where the
             # rolling local inertial BA re-converges the welded map and a
@@ -1247,6 +1312,30 @@ class System:
             self.last_loop_kf = new_kf
             return
 
+    def _update_loop_consistency(self, scores, ids, covis) -> list:
+        """Temporal-consistency vetting of BoW loop candidates (upstream
+        LoopClosing::DetectLoop): each candidate expands to its covisible
+        group; a candidate becomes *consistent* when its group intersects a
+        group detected for LOOP_CONSISTENCY_TH consecutive keyframes.
+        Returns candidate kf ids cleared for geometric verification."""
+        consistent = []
+        new_groups = []
+        for rank in range(len(ids)):
+            if scores[rank] < self.LOOP_MIN_SCORE:
+                continue
+            cand = int(ids[rank])
+            group = set(np.flatnonzero(covis[cand] > 0).tolist())
+            group.add(cand)
+            count = 1
+            for prev_group, prev_count in self._loop_consistency:
+                if group & prev_group:
+                    count = max(count, prev_count + 1)
+            new_groups.append((group, count))
+            if count >= self.LOOP_CONSISTENCY_TH:
+                consistent.append(cand)
+        self._loop_consistency = new_groups
+        return consistent
+
     MERGE_MIN_SCORE = 0.10
 
     def _try_merge_maps(self, new_kf: int, feats) -> bool:
@@ -1262,7 +1351,7 @@ class System:
                 continue
             scores, ids = vocab_mod.query(
                 old_db, feats.signs, feats.mask,
-                jnp.asarray(self.map_cfg.max_kf), jnp.asarray(-1),
+                jnp.zeros((self.map_cfg.max_kf,), bool),
                 top_k=1,
             )
             if float(np.asarray(scores)[0]) < self.MERGE_MIN_SCORE:
@@ -1581,7 +1670,7 @@ class System:
         if n_kf > 0:
             scores, ids = vocab_mod.query(
                 self.bow_db, feats.signs, feats.mask,
-                jnp.asarray(n_kf), jnp.asarray(self.map_cfg.max_kf),
+                jnp.zeros((self.map_cfg.max_kf,), bool),
                 top_k=2,
             )
             for rank in range(len(np.asarray(ids))):
@@ -1637,3 +1726,4 @@ class System:
         self._kf_imu_buf = []
         self.v_cur = None
         self.last_loop_kf = -10**9
+        self._loop_consistency = []

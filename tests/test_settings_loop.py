@@ -65,12 +65,12 @@ def test_bow_retrieval_finds_similar_frame():
     flip = rng.random(q.shape) < 0.05
     q = jnp.asarray(np.where(flip, -q, q))
     scores, ids = vocab.query(
-        db, q, mask, jnp.asarray(n_kf), jnp.asarray(n_kf + 10), top_k=3
+        db, q, mask, vocab.exclude_window(32, n_kf, n_kf + 10), top_k=3
     )
     assert int(ids[0]) == 3
-    # exclusion window hides the true match
+    # exclusion mask hides the true match
     scores2, ids2 = vocab.query(
-        db, q, mask, jnp.asarray(2), jnp.asarray(4), top_k=3
+        db, q, mask, vocab.exclude_window(32, 2, 4), top_k=3
     )
     assert int(ids2[0]) != 3
 
