@@ -58,6 +58,42 @@ def project_map(m: ms.MapState, R, t, fx, fy, cx, cy, width, height):
     return uv, vis
 
 
+def gather_visible_landmarks(
+    m: ms.MapState,
+    lm_uv: jnp.ndarray,  # (L, 2) projected positions
+    lm_vis: jnp.ndarray,  # (L,) bool
+    cap: int,
+    lm_signs: Optional[jnp.ndarray] = None,
+):
+    """Compact the frustum-visible landmarks into a fixed-capacity buffer.
+
+    The TPU-native replacement for the reference's grid-bucketed candidate
+    generation (SURVEY.md E3): irregular per-cell gathers are slow on TPU,
+    but ONE top_k over the visibility flags + a couple of dense gathers make
+    the downstream Hamming matmul's cost constant in total map size — only
+    the elementwise projection pass stays O(L). Selection is deterministic
+    (lowest landmark ids first among visible, matching the dense path's
+    argmin tie-breaking toward lower ids).
+
+    Returns (idx (cap,), sub_uv (cap, 2), sub_signs (cap, 256),
+    sub_valid (cap,)).
+    """
+    L = lm_vis.shape[0]
+    # key: visible first, then ascending id (ids are creation-ordered)
+    key = lm_vis.astype(jnp.float32) * 2.0 * L - jnp.arange(
+        L, dtype=jnp.float32
+    )
+    _, idx = jax.lax.top_k(key, cap)
+    idx = idx.astype(jnp.int32)
+    sub_valid = lm_vis[idx]
+    sub_uv = lm_uv[idx]
+    if lm_signs is None:
+        sub_signs = desc_ops.signs_from_bits(m.lm_bits[idx])
+    else:
+        sub_signs = lm_signs[idx]
+    return idx, sub_uv, sub_signs, sub_valid
+
+
 def match_to_map(
     m: ms.MapState,
     feat_uv: jnp.ndarray,  # (N, 2) undistorted
@@ -68,8 +104,14 @@ def match_to_map(
     radius: float = 15.0,
     max_dist: float = 50.0,
     lm_signs: Optional[jnp.ndarray] = None,
+    cap_visible: Optional[int] = None,
 ) -> TrackMatch:
-    """Search-by-projection against the whole landmark array (dense masked).
+    """Search-by-projection against the landmark array.
+
+    Dense masked (N, L) by default; with `cap_visible` set (static), the
+    frustum-visible landmarks are first compacted to that capacity and the
+    match runs (N, cap) — constant matching cost however large the map
+    grows (city-scale maps; see gather_visible_landmarks).
 
     Pass `lm_signs` (precomputed ±1 form of m.lm_bits) when calling inside a
     device-resident loop — the unpack is loop-invariant but XLA does not
@@ -77,16 +119,28 @@ def match_to_map(
     slows the step.
     """
     lm_uv, lm_vis = project_map(m, R_pred, t_pred, fx, fy, cx, cy, width, height)
-    if lm_signs is None:
-        lm_signs = desc_ops.signs_from_bits(m.lm_bits)
-
-    gate = matcher.window_gate(feat_uv, lm_uv, radius)  # (N, L) feature vs lm
-    res = matcher.match(
-        feat_signs, feat_mask, lm_signs, lm_vis,
-        max_dist=max_dist, ratio=0.9, gate=gate, mutual=True,
-    )
-    obs_lm = res.idx
     L = m.lm_valid.shape[0]
+
+    if cap_visible is not None and cap_visible < L:
+        idx, sub_uv, sub_signs, sub_valid = gather_visible_landmarks(
+            m, lm_uv, lm_vis, cap_visible, lm_signs
+        )
+        gate = matcher.window_gate(feat_uv, sub_uv, radius)
+        res = matcher.match(
+            feat_signs, feat_mask, sub_signs, sub_valid,
+            max_dist=max_dist, ratio=0.9, gate=gate, mutual=True,
+        )
+        obs_lm = jnp.where(res.idx >= 0, idx[jnp.maximum(res.idx, 0)], -1)
+    else:
+        if lm_signs is None:
+            lm_signs = desc_ops.signs_from_bits(m.lm_bits)
+        gate = matcher.window_gate(feat_uv, lm_uv, radius)  # (N, L)
+        res = matcher.match(
+            feat_signs, feat_mask, lm_signs, lm_vis,
+            max_dist=max_dist, ratio=0.9, gate=gate, mutual=True,
+        )
+        obs_lm = res.idx
+
     found_inc = jnp.zeros((L,), jnp.int32).at[
         jnp.where(obs_lm >= 0, obs_lm, L)
     ].add(1, mode="drop")

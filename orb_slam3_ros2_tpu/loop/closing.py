@@ -158,19 +158,21 @@ def close_loop(
     """Pose-graph correction + landmark transport after an accepted loop."""
     K = m.kf_R.shape[0]
     n_kf = int(m.n_kf)
+    # the dense (7B)² pose-graph system solves over the LIVE keyframes,
+    # padded to the next power of 2 — capacity headroom stays free
+    B = min(max(1 << max(n_kf - 1, 1).bit_length(), 2), K)
 
     R_old = np.asarray(m.kf_R)
     t_old = np.asarray(m.kf_t)
-    s_old = np.ones((K,), np.float32)
 
     if covis is None:
         covis = np.asarray(ms.covisibility_matrix(m))
     # essential graph: odometry chain + covisibility edges + loop edge;
-    # capacity 2K+8 is static per keyframe capacity (stable compiles)
+    # capacities static per bucket (stable compiles)
     ei_np, ej_np = essential_graph_edges(
-        covis, n_kf, covis_th=covis_th, max_covis_edges=K
+        covis, n_kf, covis_th=covis_th, max_covis_edges=B
     )
-    E_cap = 2 * K + 8
+    E_cap = 2 * B + 8
     n_e = min(len(ei_np), E_cap - 1)
     ei = np.zeros((E_cap,), np.int32)
     ej = np.zeros((E_cap,), np.int32)
@@ -210,14 +212,15 @@ def close_loop(
     loop_w = np.ones((E_cap,), np.float32)
     loop_w[e] = float(max(n_kf - 1, 1))  # loop edge outweighs one odo edge
 
-    fixed = np.zeros((K,), bool)
+    fixed = np.zeros((B,), bool)
     fixed[cand.cand_kf] = True
     fixed[0] = True
     # invalid / future slots held fixed so the solve stays well-posed
     fixed[n_kf:] = True
 
     out = pg.optimize_pose_graph(
-        jnp.asarray(R_old), jnp.asarray(t_old), jnp.asarray(s_old),
+        jnp.asarray(R_old[:B]), jnp.asarray(t_old[:B]),
+        jnp.ones((B,), jnp.float32),
         jnp.asarray(ei), jnp.asarray(ej),
         jnp.asarray(Rm), jnp.asarray(tm), jnp.asarray(sm),
         jnp.asarray(ev), jnp.asarray(fixed),
@@ -225,8 +228,16 @@ def close_loop(
         n_iters=n_iters, fix_scale=fix_scale,
     )
 
+    # expand the bucketed solution back to capacity (slots >= B unchanged)
+    R_new = np.array(R_old)
+    t_new = np.array(t_old)
+    s_new = np.ones((K,), np.float32)
+    R_new[:B] = np.asarray(out.R)
+    t_new[:B] = np.asarray(out.t)
+    s_new[:B] = np.asarray(out.s)
     return _apply_correction(m, jnp.asarray(R_old), jnp.asarray(t_old),
-                             out.R, out.t, out.s)
+                             jnp.asarray(R_new), jnp.asarray(t_new),
+                             jnp.asarray(s_new))
 
 
 @jax.jit

@@ -94,6 +94,7 @@ class System:
     KF_MIN_GAP = 3  # frames
     LOCAL_WINDOW = 8  # covisible keyframes optimized by local BA
     LOCAL_FIXED_RING = 4  # second-ring observers held fixed in local BA
+    MATCH_CAP_VISIBLE = 4096  # frustum-visible landmark buffer for matching
     VI_INIT_KFS = 8  # keyframes before attempting VI initialization
     VI_LOCAL_WINDOW = 6  # keyframes in the local inertial BA window
 
@@ -110,10 +111,13 @@ class System:
         del init_frame
         # vocab ctor slot = reference's ORBvoc.txt path
         # (`src/imu_mono_realsense.cpp:52-53,99`): None -> built-in
-        # projection codebook; a path -> trained codebook npz
-        # (loop/vocab.train_vocabulary / scripts/train_vocab.py)
+        # projection codebook; a `.txt` path -> DBoW2 text vocabulary
+        # (loop/dbow2.py, drop-in for the reference's ORBvoc.txt); a `.npz`
+        # path -> trained codebook (loop/vocab.train_vocabulary)
         if vocab_path:
-            vocab_mod.set_vocabulary(vocab_mod.load_vocabulary(vocab_path))
+            from orb_slam3_ros2_tpu.loop import dbow2 as dbow2_mod
+
+            vocab_mod.set_vocabulary(dbow2_mod.load_vocabulary_any(vocab_path))
         self.sensor = Sensor(sensor)
         self._metric_scale = self.sensor in METRIC_MODES
         self.settings = settings_mod.load_settings(settings_path)
@@ -131,8 +135,13 @@ class System:
             width=cam.width,
         )
         n_cap = ex.total_capacity(self.ex_cfg)
+        # default capacities sized for full EuRoC-length sessions (~300 KFs
+        # upstream); matching cost stays constant in map size via the
+        # visible-subset gather (MATCH_CAP_VISIBLE), and global BA / pose
+        # graph cost follows the *live* keyframe count through power-of-2
+        # bucketing, so capacity headroom is nearly free
         self.map_cfg = map_cfg or ms.MapConfig(
-            max_kf=96, max_lm=8192, n_feat=n_cap
+            max_kf=256, max_lm=8192, n_feat=n_cap
         )
         assert self.map_cfg.n_feat == n_cap, "map n_feat must match extractor"
 
@@ -250,10 +259,14 @@ class System:
             )
         )
 
+        # matching against maps larger than MATCH_CAP_VISIBLE goes through
+        # the frustum-visible subset gather (constant matching cost in L)
+        cap_vis = (self.MATCH_CAP_VISIBLE
+                   if self.map_cfg.max_lm > self.MATCH_CAP_VISIBLE else None)
         self._match_to_map = jax.jit(
             functools.partial(
                 trk.match_to_map, fx=fx, fy=fy, cx=cx, cy=cy,
-                width=W, height=H,
+                width=W, height=H, cap_visible=cap_vis,
             )
         )
 
@@ -1300,7 +1313,7 @@ class System:
             # rolling local inertial BA re-converges the welded map and a
             # vision-only GBA would fight the gravity/scale states)
             if not self.imu_initialized:
-                self.map = self._global_ba(self.map, n_iters=8)
+                self._run_global_ba(n_iters=8)
             # current pose snaps to the corrected keyframe pose
             self.Tcw = self._pose44(
                 np.asarray(self.map.kf_R[new_kf]),
@@ -1335,6 +1348,25 @@ class System:
                 consistent.append(cand)
         self._loop_consistency = new_groups
         return consistent
+
+    def _run_global_ba(self, n_iters: int = 8):
+        """Full-map BA over the LIVE keyframes only, padded to the next
+        power-of-2 window size (duplicate pad ids are deactivated inside
+        local_ba). Capacity-sized global BA would waste compute on empty
+        slots; bucketing keeps at most log2(max_kf) compiled variants while
+        the solve cost follows the actual map."""
+        n_kf = int(self.map.n_kf)
+        if n_kf < 2:
+            return
+        B = 1 << (n_kf - 1).bit_length()
+        B = min(max(B, 2), self.map_cfg.max_kf)
+        ids = np.minimum(np.arange(B), n_kf - 1)
+        fix = np.zeros(B, bool)
+        fix[0] = True
+        self.map = self._local_ba(
+            self.map, jnp.asarray(ids, jnp.int32), jnp.asarray(fix),
+            n_iters=n_iters,
+        )
 
     MERGE_MIN_SCORE = 0.10
 
@@ -1659,11 +1691,15 @@ class System:
 
     LOST_FRAMES_NEW_MAP = 20  # ~2 s at 10 FPS before spawning a fresh map
     MIN_KFS_KEEP_MAP = 8  # smaller lost maps are discarded, not frozen
+    RELOC_MIN_SCORE = 0.05  # BoW floor for cross-map reloc candidates
 
     def _relocalize(self, feats, timestamp: float):
-        """Relocalization: BoW candidate keyframes first (reference DBoW2 +
-        PnP path [upstream]), brute-force projection match as fallback;
-        after LOST_FRAMES_NEW_MAP failures the Atlas spawns a new map."""
+        """Relocalization: BoW candidate keyframes in the ACTIVE map first
+        (reference DBoW2 + PnP path [upstream]), then every other Atlas map
+        (upstream searches the KeyFrameDatabase atlas-wide and resumes the
+        old map directly — no junk intermediate map); brute-force projection
+        match as fallback; after LOST_FRAMES_NEW_MAP failures the Atlas
+        spawns a new map."""
         # candidate keyframe poses to try: BoW top hits + last known pose
         tries = [(self.Tcw[:3, :3], self.Tcw[:3, 3], 80.0)]
         n_kf = int(self.map.n_kf)
@@ -1698,6 +1734,8 @@ class System:
                 self.state = TrackingState.OK
                 self.frames_lost = 0
                 return
+        if self._reloc_other_maps(feats):
+            return
         self.frames_lost += 1
         if self.frames_lost >= self.LOST_FRAMES_NEW_MAP:
             if n_kf < self.MIN_KFS_KEEP_MAP and not self._map_protected:
@@ -1710,6 +1748,77 @@ class System:
                 # maps restored from an atlas file are always frozen, never
                 # discarded, regardless of size
                 self._spawn_new_map()
+
+    def _reloc_other_maps(self, feats) -> bool:
+        """Atlas-wide relocalization: query every non-active map's BoW
+        database; on a verified hit, make that map active and resume in it
+        (upstream Tracking::Relocalization over the shared KeyFrameDatabase
+        + Atlas::ChangeMap)."""
+        for mi in range(self.atlas.n_maps()):
+            if mi == self.atlas.active:
+                continue
+            old_map = self.atlas.maps[mi]
+            old_db = self.atlas.bow_dbs[mi]
+            if int(old_db.n) < 1:
+                continue
+            scores, ids = vocab_mod.query(
+                old_db, feats.signs, feats.mask,
+                jnp.zeros((self.map_cfg.max_kf,), bool), top_k=2,
+            )
+            scores = np.asarray(scores)
+            ids = np.asarray(ids)
+            for rank in range(len(ids)):
+                if scores[rank] < self.RELOC_MIN_SCORE:
+                    continue
+                kid = int(ids[rank])
+                R0 = jnp.asarray(old_map.kf_R[kid])
+                t0 = jnp.asarray(old_map.kf_t[kid])
+                tm = self._match_to_map(
+                    old_map, feats.uv, feats.signs, feats.mask, R0, t0,
+                    radius=60.0, max_dist=45.0,
+                )
+                if int(tm.n_matches) < 25:
+                    continue
+                res, _ = self._track_pose(
+                    old_map, tm.obs_lm, feats.uv, feats.level, R0, t0
+                )
+                if int(res.n_inliers) >= 25:
+                    self._switch_active_map(mi)
+                    self.Tcw = self._pose44(
+                        np.asarray(res.R), np.asarray(res.t)
+                    )
+                    self.last_Tcw = self.Tcw.copy()
+                    return True
+        return False
+
+    def _switch_active_map(self, mi: int):
+        """Resume an old Atlas map as the active one. The abandoned map
+        stays frozen if it accumulated enough keyframes; tiny junk maps
+        (spawned during the lost stretch) are discarded."""
+        prev = self.atlas.active
+        prev_n_kf = int(self.map.n_kf)
+        if prev_n_kf < self.MIN_KFS_KEEP_MAP and not self._map_protected:
+            del self.atlas.maps[prev]
+            del self.atlas.bow_dbs[prev]
+            if mi > prev:
+                mi -= 1
+        self.atlas.active = mi
+        # host bookkeeping follows the resumed map; the inertial chain is
+        # broken across the gap, so preintegration state restarts
+        self.kf_times = [
+            float(t) for t in np.asarray(self.map.kf_time)[:int(self.map.n_kf)]
+        ]
+        self.kf_preints = []
+        self.kf_velocities = {}
+        self._kf_imu_buf = []
+        self._loop_consistency = []
+        self._map_protected = True  # resumed history is never discarded
+        self.velocity = None
+        self.v_cur = None
+        self.state = TrackingState.OK
+        self.frames_lost = 0
+        self.frames_since_kf = 0
+        self.last_loop_kf = -10**9
 
     def _spawn_state_reset(self):
         self.state = TrackingState.NOT_INITIALIZED
