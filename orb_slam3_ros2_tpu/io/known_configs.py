@@ -154,6 +154,63 @@ DATASETS: Dict[str, Dict] = {
                 "gyro_walk": 1.0e-5, "acc_walk": 1.0e-4, "freq": 200.0},
         "orb": {"n_features": 1250},
     },
+    # NTU VIRAL aerial dataset (stereo PinHole rig; calibration transcribed
+    # from the dataset release, cf. `/root/reference/config/Monocular/
+    # NTU_VIRAL.yaml`)
+    "NTU_VIRAL": {
+        "cam_type": "PinHole",
+        "width": 752, "height": 480, "fps": 10.0,
+        "cam0": {"fx": 4.250258563372763e+02, "fy": 4.267976260903337e+02,
+                 "cx": 3.860151866550880e+02, "cy": 2.419130336743440e+02,
+                 "k1": -0.288105327549552, "k2": 0.074578284234601,
+                 "p1": 7.784489598138802e-04, "p2": -2.277853975035461e-04},
+        "cam1": {"fx": 4.313364265799752e+02, "fy": 4.327527965378035e+02,
+                 "cx": 3.548956286992647e+02, "cy": 2.325508916495161e+02,
+                 "k1": -0.300267420221178, "k2": 0.090544063693053,
+                 "p1": 3.330220891093334e-05, "p2": 8.989607188457415e-05},
+        "T_c1_c2": np.array([
+            [1.0, 0.0, 0.0, 0.259026647078268],
+            [0.0, 1.0, 0.0, 0.000895520353150],
+            [0.0, 0.0, 1.0, 0.006003466634407],
+            [0.0, 0.0, 0.0, 1.0],
+        ]),
+        "orb": {"n_features": 2000, "n_levels": 7},
+        "th_depth": 100.0,
+    },
+    # RealSense T265 tracking camera (KB8 fisheye + BMI055 IMU; VINS-mono
+    # noise values, cf. `/root/reference/config/Monocular-Inertial/
+    # RealSense_T265.yaml:1-69`)
+    "RealSense_T265": {
+        "cam_type": "KannalaBrandt8",
+        "width": 848, "height": 800, "fps": 30.0,
+        "cam0": {"fx": 283.794586181641, "fy": 284.952392578125,
+                 "cx": 424.865386962891, "cy": 396.590911865234,
+                 "k1": -0.0027128029614687, "k2": 0.0366887785494328,
+                 "k3": -0.0354852788150311, "k4": 0.00590010220184922},
+        "T_b_c1": np.array([
+            [-0.99994, -0.00299325, 0.0105676, 0.0107000041753054],
+            [0.0029806, -0.999995, -0.00121326, -1.45519152283669e-11],
+            [0.0105711, -0.00118169, 0.999943, -1.45519152283669e-11],
+            [0.0, 0.0, 0.0, 1.0],
+        ]),
+        "imu": {"noise_gyro": 5.148030141e-6, "noise_acc": 6.6952452471e-5,
+                "gyro_walk": 4.99999999e-7, "acc_walk": 9.9999997474e-5,
+                "freq": 200.0},
+        "insert_kfs_when_lost": False,
+        "orb": {"n_features": 800},
+    },
+    # MilkV Duo board camera, 640x360 downscale of a 1920x1080 sensor (the
+    # fork's own rig; `/root/reference/config/Monocular/MilkV.yaml:42,74-75`
+    # — it is also the rig whose config enables Atlas persistence)
+    "MilkV": {
+        "cam_type": "PinHole",
+        "width": 640, "height": 360, "fps": 30.0,
+        "cam0": {"fx": 342.67, "fy": 342.67, "cx": 203.0, "cy": 132.67,
+                 "k1": -0.35952, "k2": 0.080321,
+                 "p1": 0.001794, "p2": -0.001439},
+        "orb": {"n_features": 1250},
+        "atlas_save": "maps/prev_atlas",
+    },
 }
 
 MODES = ("Monocular", "Monocular-Inertial", "Stereo", "Stereo-Inertial")
@@ -231,6 +288,10 @@ def config_text(name: str, mode: str) -> str:
             f"IMU.Frequency: {_fmt(imu['freq'])}",
             "",
         ]
+    if "insert_kfs_when_lost" in d and "Inertial" in mode:
+        L += [f"IMU.InsertKFsWhenLost: {int(d['insert_kfs_when_lost'])}", ""]
+    if d.get("atlas_save"):
+        L += [f'System.SaveAtlasToFile: "{d["atlas_save"]}"', ""]
     orb = d.get("orb", {})
     L += [
         f"ORBextractor.nFeatures: {orb.get('n_features', 1000)}",
