@@ -116,6 +116,8 @@ def main():
     dt = (totals[B_LARGE] - totals[B_SMALL]) / (B_LARGE - B_SMALL)
     fps = 1.0 / dt
 
+    ba_iters_s = _bench_ba_iters()
+
     print(json.dumps({
         "metric": "tracking_fps_per_chip",
         "value": round(fps, 2),
@@ -123,7 +125,62 @@ def main():
                 "match + pose LM; device-resident scan, dispatch-constant "
                 "cancelled via batch-size slope)",
         "vs_baseline": round(fps / 30.0, 2),
+        "extra": {
+            "ba_iters_per_s_per_chip": ba_iters_s,
+            "ba_problem": "64 kf x 8192 lm dense robust-LM Schur "
+                          "(iteration-count slope, dispatch cancelled)",
+        },
     }))
+
+
+def _bench_ba_iters():
+    """BA iterations/s per chip — the second north-star metric
+    (BASELINE.md: 'BA iterations/s at N hosts'; this is the N=1 anchor the
+    scaling bench multiplies out). Slope method over iteration count so the
+    dispatch constant and the fixed head/tail work cancel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orb_slam3_ros2_tpu.backend import ba as ba_mod
+    from orb_slam3_ros2_tpu.io import synthetic
+
+    K, L = 64, 8192
+    fx = fy = 458.0
+    cx, cy = 367.0, 248.0
+    rng = np.random.default_rng(0)
+    sc = synthetic.make_scene(n_frames=K, n_points=512, noise_px=0.5, seed=1,
+                              fx=fx, fy=fy, cx=cx, cy=cy)
+    reps = L // 512
+    X = np.tile(sc.X, (reps, 1)) + rng.normal(0, 0.05, (L, 3))
+    uv = np.tile(sc.uv, (1, reps, 1))
+    w = np.tile(sc.vis, (1, reps)).astype(np.float32)
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    problem = ba_mod.BAProblem(
+        R=jnp.asarray(sc.R_cw, jnp.float32),
+        t=jnp.asarray(sc.t_cw + rng.normal(0, 0.02, (K, 3)), jnp.float32),
+        X=jnp.asarray(X, jnp.float32), uv=jnp.asarray(uv, jnp.float32),
+        w=jnp.asarray(w), fixed=jnp.asarray(fixed),
+        point_valid=jnp.ones(L, bool),
+    )
+
+    times = {}
+    for n_iters in (10, 30):
+        f = jax.jit(lambda p, n=n_iters: ba_mod.bundle_adjust(
+            p, fx, fy, cx, cy, n_iters=n))
+        out = f(problem)
+        jax.block_until_ready(out.R)
+        _log(f"BA compiled n_iters={n_iters}")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(problem)
+            jax.block_until_ready(out.R)
+            best = min(best, time.perf_counter() - t0)
+        times[n_iters] = best
+    dt_iter = (times[30] - times[10]) / 20.0
+    return round(1.0 / dt_iter, 2)
 
 
 if __name__ == "__main__":

@@ -252,6 +252,187 @@ def render_sequence(
 
 
 # ---------------------------------------------------------------------------
+# Realistic rendering: textured room (general planes, z-buffer, photometrics)
+# ---------------------------------------------------------------------------
+
+
+def _value_noise_texture(h: int, w: int, seed: int) -> np.ndarray:
+    """Multi-octave value-noise texture in [0, 255].
+
+    Natural-image-like autocorrelation (power at all scales) so ORB
+    descriptor repeatability is stressed the way real scenes stress it —
+    the box texture of `_texture` is axis-aligned high contrast everywhere,
+    which flatters FAST/BRIEF."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w), np.float32)
+    amp, cells = 1.0, 4
+    total = 0.0
+    while cells < max(h, w):
+        grid = rng.uniform(0, 1, (cells + 1, cells + 1)).astype(np.float32)
+        img += amp * cv2.resize(grid, (w, h), interpolation=cv2.INTER_CUBIC)
+        total += amp
+        amp *= 0.55
+        cells *= 2
+    img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
+    # sprinkle a few high-contrast patches (posters/furniture edges)
+    for _ in range(40):
+        y, x = rng.integers(0, h - 30), rng.integers(0, w - 30)
+        bh, bw = rng.integers(8, 30, size=2)
+        img[y:y + bh, x:x + bw] = rng.uniform(0, 1)
+    return (20.0 + 220.0 * img).astype(np.float32)
+
+
+@dataclasses.dataclass
+class _Plane:
+    origin: np.ndarray  # (3,) world point at texture (0, 0)
+    ax_u: np.ndarray    # (3,) world step per texture pixel along u
+    ax_v: np.ndarray    # (3,) world step per texture pixel along v
+    tex: np.ndarray     # (th, tw) float32
+
+
+def _room_planes(seed: int, half_x=3.0, half_y=2.2, z_near=-2.0, z_far=6.0,
+                 tex_hw=(720, 960)):
+    """Five textured planes forming an open box the camera flies inside:
+    back wall, left/right walls, floor, ceiling (y down = floor at +y)."""
+    th, tw = tex_hw
+    depth_span = z_far - z_near
+
+    def mk(origin, du, dv, extent_u, extent_v, s):
+        return _Plane(
+            origin=np.asarray(origin, np.float64),
+            ax_u=np.asarray(du, np.float64) * (extent_u / tw),
+            ax_v=np.asarray(dv, np.float64) * (extent_v / th),
+            tex=_value_noise_texture(th, tw, seed + s),
+        )
+
+    return [
+        mk([-half_x, -half_y, z_far], [1, 0, 0], [0, 1, 0],
+           2 * half_x, 2 * half_y, 0),                      # back wall
+        mk([-half_x, -half_y, z_near], [0, 0, 1], [0, 1, 0],
+           depth_span, 2 * half_y, 1),                      # left wall
+        mk([half_x, -half_y, z_near], [0, 0, 1], [0, 1, 0],
+           depth_span, 2 * half_y, 2),                      # right wall
+        mk([-half_x, half_y, z_near], [1, 0, 0], [0, 0, 1],
+           2 * half_x, depth_span, 3),                      # floor (+y down)
+        mk([-half_x, -half_y, z_near], [1, 0, 0], [0, 0, 1],
+           2 * half_x, depth_span, 4),                      # ceiling
+    ]
+
+
+def _render_planes(planes, K, Rk, tk, width, height, rx, ry):
+    """Z-buffered render of general textured planes (homography warp per
+    plane + analytic ray-plane depth)."""
+    import cv2
+
+    frame = np.zeros((height, width), np.float32)
+    zbuf = np.full((height, width), np.inf, np.float32)
+    R_wc = Rk.T
+    c_w = -Rk.T @ tk
+    for pl in planes:
+        A = np.stack([pl.ax_u, pl.ax_v, pl.origin], axis=1)  # (3,3)
+        M = K @ (Rk @ A + np.outer(tk, [0.0, 0.0, 1.0]))
+        warped = cv2.warpPerspective(
+            pl.tex, M, (width, height), flags=cv2.INTER_LINEAR,
+            borderValue=-1.0,
+        )
+        n = np.cross(pl.ax_u, pl.ax_v)
+        n /= max(np.linalg.norm(n), 1e-12)
+        # ray c_w + s * R_wc @ (rx, ry, 1); z_cam == s
+        den = (n[0] * (R_wc[0, 0] * rx + R_wc[0, 1] * ry + R_wc[0, 2])
+               + n[1] * (R_wc[1, 0] * rx + R_wc[1, 1] * ry + R_wc[1, 2])
+               + n[2] * (R_wc[2, 0] * rx + R_wc[2, 1] * ry + R_wc[2, 2]))
+        s = np.dot(n, pl.origin - c_w) / np.where(
+            np.abs(den) < 1e-9, 1e-9, den)
+        vis = (warped >= 0) & (s > 0.1) & (s < zbuf)
+        frame = np.where(vis, warped, frame)
+        zbuf = np.where(vis, s.astype(np.float32), zbuf)
+    zbuf = np.where(np.isinf(zbuf), 0.0, zbuf)
+    return frame, zbuf
+
+
+def _photometric(frame, vignette, gain, noise_dn, rng):
+    """Realistic image formation on top of the ideal render: vignetting,
+    exposure gain, sensor noise, 8-bit quantization, slight defocus."""
+    import cv2
+
+    img = frame * vignette * gain
+    img = cv2.GaussianBlur(img, (0, 0), 0.6)
+    img = img + rng.normal(0.0, noise_dn, img.shape)
+    return np.clip(np.round(img), 0, 255).astype(np.float32)
+
+
+def render_room_sequence(
+    n_frames: int = 60,
+    width: int = 640,
+    height: int = 480,
+    fx: float = 450.0,
+    fy: float = 450.0,
+    fps: float = 20.0,
+    seed: int = 0,
+    traj: Optional[Trajectory] = None,
+    traj_scale: float = 1.5,
+    photometric: bool = True,
+    noise_dn: float = 3.0,
+    exposure_drift: float = 0.02,
+    stereo_baseline: float = 0.0,
+    return_depth: bool = False,
+):
+    """Hard synthetic benchmark: camera flying inside a textured room.
+
+    Unlike `render_sequence` (fronto-parallel planes, noise-free), this
+    exercises what real sequences exercise: oblique surfaces (perspective
+    descriptor distortion), depth discontinuities at wall seams, vignetting,
+    exposure drift (auto-exposure-like gain random walk), sensor noise and
+    quantization. Returns the same tuple shapes as `render_sequence`.
+    """
+    cx, cy = width / 2.0, height / 2.0
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+    rng = np.random.default_rng(seed + 77)
+    traj = traj or default_trajectory(seed=seed + 3, scale=traj_scale)
+    ts = np.arange(n_frames) / fps
+    R_wb, p_wb = traj.pose_wb(ts)
+    R_cw = np.swapaxes(R_wb, -1, -2)
+    t_cw = -np.einsum("kij,kj->ki", R_cw, p_wb)
+
+    planes = _room_planes(seed)
+    uu, vv = np.meshgrid(np.arange(width), np.arange(height))
+    rx = (uu - cx) / fx
+    ry = (vv - cy) / fy
+    r2 = rx * rx + ry * ry
+    vignette = 1.0 / (1.0 + r2) ** 1.5  # cos^4-ish natural falloff
+
+    gains = np.exp(np.cumsum(rng.normal(0, exposure_drift, n_frames)))
+    gains = np.clip(gains, 0.7, 1.4)
+
+    images = np.zeros((n_frames, height, width), np.float32)
+    depths = np.zeros((n_frames, height, width), np.float32)
+    for k in range(n_frames):
+        frame, zbuf = _render_planes(planes, K, R_cw[k], t_cw[k],
+                                     width, height, rx, ry)
+        depths[k] = zbuf
+        images[k] = (_photometric(frame, vignette, gains[k], noise_dn, rng)
+                     if photometric else frame)
+
+    if return_depth:
+        assert stereo_baseline == 0.0, "return_depth is mono-only"
+        return (images, depths, R_cw.astype(np.float32),
+                t_cw.astype(np.float32), ts)
+    if stereo_baseline > 0.0:
+        images_r = np.zeros_like(images)
+        off = np.array([stereo_baseline, 0.0, 0.0])
+        for k in range(n_frames):
+            fr, _ = _render_planes(planes, K, R_cw[k], t_cw[k] - off,
+                                   width, height, rx, ry)
+            images_r[k] = (_photometric(fr, vignette, gains[k], noise_dn, rng)
+                           if photometric else fr)
+        return (images, images_r, R_cw.astype(np.float32),
+                t_cw.astype(np.float32), ts)
+    return images, R_cw.astype(np.float32), t_cw.astype(np.float32), ts
+
+
+# ---------------------------------------------------------------------------
 # IMU synthesis
 # ---------------------------------------------------------------------------
 
@@ -265,12 +446,21 @@ def make_imu(
     acc_noise: float = 0.0,
     gyro_bias: Optional[np.ndarray] = None,
     acc_bias: Optional[np.ndarray] = None,
+    gyro_walk: float = 0.0,
+    acc_walk: float = 0.0,
     seed: int = 0,
 ):
     """Sample gyro/accel along the trajectory (central finite differences).
 
     Returns (t (M,), gyro (M, 3), acc (M, 3)) in body frame; accelerometer
     measures specific force f_b = R_bw (a_w - g_w), g_w = (0,0,-9.81).
+
+    `gyro_walk`/`acc_walk` are bias random-walk densities (rad/s/s/√Hz,
+    m/s²/s/√Hz — the `IMU.GyroWalk`/`IMU.AccWalk` keys of the reference
+    settings, `/root/reference/config/Monocular-Inertial/EuRoC.yaml:45-49`);
+    the white-noise args are per-sample σ, i.e. density·√rate. EuRoC-grade
+    realism at 200 Hz: gyro_noise=1.7e-4*√200≈2.4e-3, acc_noise=2e-3*√200≈
+    2.8e-2, gyro_walk=1.9e-5, acc_walk=3e-3.
     """
     rng = np.random.default_rng(seed)
     dt = 1.0 / rate
@@ -294,6 +484,12 @@ def make_imu(
         gyro = gyro + gyro_bias
     if acc_bias is not None:
         acc = acc + acc_bias
+    if gyro_walk > 0:
+        gyro = gyro + np.cumsum(
+            rng.normal(0, gyro_walk * np.sqrt(dt), gyro.shape), axis=0)
+    if acc_walk > 0:
+        acc = acc + np.cumsum(
+            rng.normal(0, acc_walk * np.sqrt(dt), acc.shape), axis=0)
     gyro = gyro + rng.normal(0, gyro_noise, gyro.shape)
     acc = acc + rng.normal(0, acc_noise, acc.shape)
     return t, gyro.astype(np.float64), acc.astype(np.float64)

@@ -1,0 +1,171 @@
+"""Synthetic-sequence ATE evaluation cases (shared by scripts/eval_ate.py
+and tests).
+
+The container has zero network egress (see EVAL.md), so the real-data bar
+(EuRoC MH01-MH05, BASELINE.md) cannot be *measured* here; this module is
+the strongest stand-in that is runnable: rendered sequences with realistic
+image formation (`io/synthetic.render_room_sequence` — oblique surfaces,
+vignetting, exposure drift, sensor noise, 8-bit quantization) and
+EuRoC-grade IMU noise/bias random walk, with exact groundtruth.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import numpy as np
+
+_SETTINGS_TMPL = """%YAML:1.0
+
+File.version: "1.0"
+
+Camera.type: "Rectified"
+
+Camera1.fx: {fx}
+Camera1.fy: {fy}
+Camera1.cx: {cx}
+Camera1.cy: {cy}
+
+Camera.width: {width}
+Camera.height: {height}
+
+Camera.fps: {fps}
+Camera.RGB: 1
+
+Stereo.b: {baseline}
+
+ORBextractor.nFeatures: {n_features}
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: {n_levels}
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+
+IMU.NoiseGyro: 1.7e-4
+IMU.NoiseAcc: 2.0e-3
+IMU.GyroWalk: 1.9e-5
+IMU.AccWalk: 3.0e-3
+IMU.Frequency: 200.0
+"""
+
+# EuRoC-grade per-sample IMU sigmas at 200 Hz (density * sqrt(rate))
+IMU_KW = dict(
+    rate=200.0,
+    gyro_noise=1.7e-4 * np.sqrt(200.0),
+    acc_noise=2.0e-3 * np.sqrt(200.0),
+    gyro_walk=1.9e-5,
+    acc_walk=3.0e-3,
+)
+
+
+def _write_settings(tmpdir, width, height, fx, fy, fps, baseline,
+                    n_features=1000, n_levels=8):
+    path = os.path.join(tmpdir, "synth_eval.yaml")
+    with open(path, "w") as f:
+        f.write(_SETTINGS_TMPL.format(
+            fx=fx, fy=fy, cx=width / 2.0, cy=height / 2.0, width=width,
+            height=height, fps=fps, baseline=baseline,
+            n_features=n_features, n_levels=n_levels))
+    return path
+
+
+def run_synthetic_case(case: dict) -> dict:
+    """Run one synthetic benchmark case end to end and return the ATE row.
+
+    case keys: name, mode ('mono'|'vi'|'stereo'), n_frames, hard (bool),
+    optional: seed, width, height, fx, fps, n_features, n_levels.
+    """
+    from orb_slam3_ros2_tpu.io import synthetic
+    from orb_slam3_ros2_tpu.runtime.system import (
+        ImuPoint, Sensor, System,
+    )
+
+    name = case["name"]
+    mode = case["mode"]
+    n_frames = case.get("n_frames", 120)
+    hard = case.get("hard", True)
+    seed = case.get("seed", 0)
+    width = case.get("width", 640)
+    height = case.get("height", 480)
+    fx = fy = case.get("fx", 450.0)
+    fps = case.get("fps", 20.0)
+    baseline = 0.1 if mode == "stereo" else 0.0
+    traj_scale = case.get("traj_scale", 1.5)
+
+    render = (synthetic.render_room_sequence if hard
+              else synthetic.render_sequence)
+    kw = dict(n_frames=n_frames, width=width, height=height, fx=fx, fy=fy,
+              fps=fps, seed=seed, stereo_baseline=baseline)
+    if hard:
+        kw["traj_scale"] = traj_scale
+    else:
+        kw["traj_scale"] = traj_scale
+    out = render(**kw)
+    if baseline > 0:
+        images, images_r, R_gt, t_gt, ts = out
+    else:
+        images, R_gt, t_gt, ts = out
+        images_r = None
+
+    imu = None
+    if mode == "vi":
+        traj = synthetic.default_trajectory(seed=seed + 3, scale=traj_scale)
+        true_bg = np.array([0.01, -0.008, 0.012])
+        imu_t, gyro, acc = synthetic.make_imu(
+            traj, -0.02, float(ts[-1]) + 0.01, gyro_bias=true_bg,
+            seed=seed + 5, **IMU_KW)
+        imu = (imu_t, gyro, acc)
+
+    sensor = {"mono": Sensor.MONOCULAR, "vi": Sensor.IMU_MONOCULAR,
+              "stereo": Sensor.STEREO}[mode]
+    with tempfile.TemporaryDirectory() as td:
+        settings = _write_settings(
+            td, width, height, fx, fy, fps, baseline,
+            n_features=case.get("n_features", 1000),
+            n_levels=case.get("n_levels", 8))
+        sys_ = System(None, settings, sensor=sensor)
+        if mode == "vi":
+            sys_.VI_INIT_KFS = 6
+
+        t0 = time.perf_counter()
+        t_prev = -1.0
+        for k in range(n_frames):
+            pts = []
+            if imu is not None:
+                imu_t, gyro, acc = imu
+                sel = (imu_t > t_prev) & (imu_t <= ts[k])
+                pts = [ImuPoint(acc[i], gyro[i], imu_t[i])
+                       for i in np.where(sel)[0]]
+            if mode == "stereo":
+                sys_.track_stereo(images[k], images_r[k], float(ts[k]), pts)
+            else:
+                sys_.track_monocular(images[k], float(ts[k]), pts)
+            t_prev = float(ts[k])
+        wall = time.perf_counter() - t0
+
+        est, gt = [], []
+        for k, (t, T) in enumerate(sys_.get_trajectory()):
+            if sys_.tracking_log[k]["state"] != 1:
+                continue
+            est.append(-T[:3, :3].T @ T[:3, 3])
+            gt.append(-R_gt[k].T @ t_gt[k])
+        est, gt = np.asarray(est), np.asarray(gt)
+
+    if len(est) < 10:
+        return {"sequence": name, "mode": mode, "ate_rmse_m": None,
+                "tracked_frames": int(len(est)), "frames": int(n_frames),
+                "status": "tracking failed"}
+    ate = synthetic.ate_rmse(est, gt)
+    row = {"sequence": name, "mode": mode, "ate_rmse_m": round(ate, 4),
+           "tracked_frames": int(len(est)), "frames": int(n_frames),
+           "wall_s": round(wall, 1), "fps": round(n_frames / wall, 1),
+           "status": "ok"}
+    if mode != "mono":
+        # metric-scale check: trajectory length ratio without Sim3 scale
+        len_est = float(np.linalg.norm(np.diff(est, axis=0), axis=1).sum())
+        len_gt = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
+        if len_gt > 0:
+            row["scale_err_pct"] = round(
+                100.0 * abs(len_est - len_gt) / len_gt, 1)
+    return row
