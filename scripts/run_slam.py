@@ -41,6 +41,15 @@ def main():
     ap.add_argument("--camera", default=None,
                     help="live source for cv2.VideoCapture: RTSP URL, "
                          "device index, or video file (cam_node.py path)")
+    ap.add_argument("--playback-bag", metavar="BAG", default=None,
+                    help="replay a rosbag2 (.db3 dir/file) through the "
+                         "engine (mapping.launch playback_bag equivalent)")
+    ap.add_argument("--image-topic", default=None,
+                    help="image topic in --playback-bag (default: first "
+                         "Image/CompressedImage topic)")
+    ap.add_argument("--imu-topic", default=None,
+                    help="IMU topic in --playback-bag (default: first Imu "
+                         "topic; ignored unless --mode imu_monocular)")
     ap.add_argument("--record", metavar="DIR", default=None,
                     help="tee the input stream to an EuRoC-layout recording "
                          "(ros2 bag record equivalent; replay via --dataset)")
@@ -166,6 +175,33 @@ def main():
                     -R_gt[k].T @ t_gt[k],
                     session.system.is_imu_initialized(),
                 )
+    elif args.playback_bag is not None:
+        if args.mode not in ("monocular", "imu_monocular"):
+            ap.error("--playback-bag supports monocular modes")
+        from orb_slam3_ros2_tpu.io import rosbag as rosbag_mod
+
+        reader = rosbag_mod.Rosbag2Reader(args.playback_bag)
+        g_img, g_imu = reader.guess_topics()
+        image_topic = args.image_topic or g_img
+        imu_topic = (args.imu_topic or g_imu) if "imu" in args.mode else None
+        if image_topic is None:
+            ap.error(f"bag has no image topic (topics: "
+                     f"{reader.topic_names()})")
+        topics = [image_topic] + ([imu_topic] if imu_topic else [])
+        pending = []
+        for name, _bag_t, msg in reader.messages(topics):
+            if name == imu_topic:
+                pending.append(ImuPoint(msg.acc, msg.gyro, msg.t))
+                continue
+            imu, pending = pending, []
+            if recorder is not None:
+                recorder.add_frame(msg.data, msg.t)
+                for p in imu:
+                    recorder.add_imu(p.t, p.gyro, p.acc)
+            session.feed(msg.data, msg.t, imu)
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                break
     elif args.camera is not None:
         # live ingest (cam_node.py path): RTSP / device index / video file
         from orb_slam3_ros2_tpu.runtime import cam_source as cs
@@ -275,7 +311,7 @@ def main():
     if args.synthetic:
         for k in range(images.shape[0]):
             gt_by_t[round(float(ts[k]), 6)] = -R_gt[k].T @ t_gt[k]
-    elif args.camera is None:
+    elif args.camera is None and args.playback_bag is None:
         for fr in frames:
             g = seq.gt_at(fr.t)
             if g is not None:
