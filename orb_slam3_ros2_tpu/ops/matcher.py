@@ -32,18 +32,25 @@ class MatchResult(NamedTuple):
     valid: jnp.ndarray  # (N,) bool
 
 
-def hamming_matrix(signs_a: jnp.ndarray, signs_b: jnp.ndarray) -> jnp.ndarray:
-    """(N, 256) ±1 × (M, 256) ±1 -> (N, M) Hamming distances (float32)."""
+def hamming_matrix(signs_a: jnp.ndarray, signs_b: jnp.ndarray,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """(N, 256) ±1 × (M, 256) ±1 -> (N, M) Hamming distances.
+
+    With dtype=bfloat16 the result is still EXACT: Hamming distances are
+    integers in [0, 256] and bf16's 8 significand bits represent every
+    integer up to 256 — but the (N, M) matrix costs half the HBM traffic,
+    which is what bounds the match stage (PROFILE.json).
+    """
     sim = jax.lax.dot_general(
         signs_a, signs_b,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        # ±1 products are exact in bf16 and the accumulator is f32, so the
-        # fast MXU path is lossless here — opt out of the library-wide
+        preferred_element_type=dtype,
+        # ±1 products are exact in bf16 and the MXU accumulates in f32, so
+        # the fast path is lossless here — opt out of the library-wide
         # 'highest' default (see package __init__)
         precision=jax.lax.Precision.DEFAULT,
     )
-    return (N_BITS - sim) * 0.5
+    return (N_BITS - sim) * dtype(0.5)
 
 
 def match(
@@ -67,18 +74,28 @@ def match(
     reference's Fuse path accepts any best under TH_LOW so duplicate
     descriptors can still match [upstream ORBmatcher::Fuse]).
     """
-    d = hamming_matrix(signs_a, signs_b)
+    # The (N, M) distance matrix is what bounds this function (HBM traffic,
+    # PROFILE.json), so it is kept in bf16 — exact for integer Hamming
+    # values ≤ 256 — and every pass over it is a fused elementwise+reduce:
+    # no scatter, no f32 materialization.
+    d = hamming_matrix(signs_a, signs_b, dtype=jnp.bfloat16)
     allowed = mask_a[:, None] & mask_b[None, :]
     if gate is not None:
         allowed &= gate
-    d = jnp.where(allowed, d, INF)
+    big = jnp.bfloat16(INF)
+    d = jnp.where(allowed, d, big)
 
     best_idx = jnp.argmin(d, axis=1)
     best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
+    best = best.astype(jnp.float32)
     ok = (best <= max_dist) & mask_a
     if ratio is not None:
-        d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(INF)
-        second = jnp.min(d2, axis=1)
+        # second-best = min over columns excluding the argmin column —
+        # a fused masked reduce instead of the former (N, M) scatter copy
+        cols = jnp.arange(d.shape[1], dtype=jnp.int32)[None, :]
+        second = jnp.min(
+            jnp.where(cols == best_idx[:, None], big, d), axis=1
+        ).astype(jnp.float32)
         ok &= best < ratio * second
 
     if mutual:

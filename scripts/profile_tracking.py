@@ -32,7 +32,9 @@ HBM_GBS = 819.0          # v5e HBM bandwidth, GB/s
 PEAK_BF16 = 197.0e12     # v5e MXU, FLOP/s
 PEAK_F32 = PEAK_BF16 / 4
 
-B_SMALL, B_LARGE = 32, 256
+B_SMALL, B_LARGE = 32, 512
+N_REPS = 5
+NOISE_FLOOR_MS = 0.03  # stage slopes below this are within tunnel jitter
 
 
 def main():
@@ -124,7 +126,7 @@ def main():
             jax.block_until_ready(out)
             fr = jnp.asarray(rng.uniform(0, 255, (nb, H, W)).astype(np.float32))
             best = float("inf")
-            for _ in range(3):
+            for _ in range(N_REPS):
                 t0_ = time.perf_counter()
                 out = fn(fr)
                 jax.block_until_ready(out)
@@ -167,13 +169,14 @@ def main():
     est["extract"] = dict(
         bytes=est["pyramid"]["bytes"] + extract_extra["bytes"],
         flops=est["pyramid"]["flops"] + extract_extra["flops"], kind="f32")
-    # match: project all L landmarks + (N, L) hamming matmul (bf16 since
-    # the signs matmul runs in bf16) + (N, L) distance matrix traffic
+    # match: project all L landmarks + (N, L) hamming matmul in bf16 +
+    # (N, L) bf16 distance-matrix traffic: one write + three fused
+    # reduction passes (row argmin, masked second-best min, col argmin)
     Lm = mcfg.max_lm
     match = dict(
         bytes=(Lm * (12 + 4)                  # lm_X read + uv write
                + n_feat * 256 * 4 + Lm * 256 * 4   # sign matrices
-               + n_feat * Lm * 4 * 2),        # dist + gate traffic
+               + n_feat * Lm * 2 * 4),        # bf16 dist passes
         flops=2 * n_feat * 256 * Lm, kind="bf16")
     est["extract+match"] = dict(
         bytes=est["extract"]["bytes"] + match["bytes"],
@@ -198,18 +201,25 @@ def main():
     ]
     for name, dt, e in derived:
         by, fl = e["bytes"], e["flops"]
-        gbs = by / dt / 1e9
-        tfs = fl / dt / 1e12
         peak = PEAK_BF16 if e.get("kind") == "bf16" else PEAK_F32
         t_bytes = by / (HBM_GBS * 1e9)
         t_flops = fl / peak
         bound = "HBM" if t_bytes >= t_flops else "MXU"
-        sol = max(t_bytes, t_flops) / dt * 100.0
-        stage_rows.append(dict(
-            stage=name, ms_per_frame=round(dt * 1e3, 3),
-            est_MB=round(by / 1e6, 2), est_GFLOP=round(fl / 1e9, 2),
-            achieved_GBs=round(gbs, 1), achieved_TFLOPs=round(tfs, 2),
-            bound=bound, pct_speed_of_light=round(sol, 1)))
+        row = dict(stage=name, ms_per_frame=round(dt * 1e3, 3),
+                   est_MB=round(by / 1e6, 2), est_GFLOP=round(fl / 1e9, 2),
+                   bound=bound)
+        if dt * 1e3 < NOISE_FLOOR_MS:
+            # difference of two slope measurements below tunnel jitter:
+            # report the roofline bound but no fabricated %SoL
+            row.update(ms_per_frame=max(round(dt * 1e3, 3), 0.0),
+                       note="below measurement noise floor",
+                       roofline_bound_ms=round(max(t_bytes, t_flops) * 1e3, 4))
+        else:
+            row.update(
+                achieved_GBs=round(by / dt / 1e9, 1),
+                achieved_TFLOPs=round(fl / dt / 1e12, 2),
+                pct_speed_of_light=round(max(t_bytes, t_flops) / dt * 100, 1))
+        stage_rows.append(row)
         print(json.dumps(stage_rows[-1]))
 
     if args.trace:
