@@ -54,6 +54,12 @@ DATASETS: Dict[str, Dict] = {
                 "gyro_walk": 1.9393e-5, "acc_walk": 3.0e-3, "freq": 200.0},
         "orb": {"n_features": 1000},
         "th_depth": 35.0,
+        # the reference evaluates EuRoC mono-inertial at a 600x350 rescale
+        # (`/root/reference/config/Monocular-Inertial/EuRoC.yaml:24-25`);
+        # io/settings.py rescales the intrinsics accordingly
+        "mode_overrides": {
+            "Monocular-Inertial": {"new_width": 600, "new_height": 350},
+        },
     },
     # TUM-VI 512x512 fisheye rig (camchain calibration, KB8 model)
     "TUM-VI": {
@@ -153,6 +159,15 @@ DATASETS: Dict[str, Dict] = {
         "imu": {"noise_gyro": 1.0e-3, "noise_acc": 1.0e-2,
                 "gyro_walk": 1.0e-5, "acc_walk": 1.0e-4, "freq": 200.0},
         "orb": {"n_features": 1250},
+        # stereo uses the rectified IR pair, not the color camera
+        # (`/root/reference/config/Stereo/RealSense_D435i.yaml:11-16,28`)
+        "mode_overrides": {
+            "Stereo": {
+                "cam0": {"fx": 382.613, "fy": 382.613,
+                         "cx": 320.183, "cy": 236.455},
+                "stereo_b": 0.0499585, "th_depth": 40.0,
+            },
+        },
     },
     # NTU VIRAL aerial dataset (stereo PinHole rig; calibration transcribed
     # from the dataset release, cf. `/root/reference/config/Monocular/
@@ -198,6 +213,40 @@ DATASETS: Dict[str, Dict] = {
                 "freq": 200.0},
         "insert_kfs_when_lost": False,
         "orb": {"n_features": 800},
+        # the stereo fisheye pair carries its own (per-unit) calibration
+        # (`/root/reference/config/Stereo/RealSense_T265.yaml:11-52`)
+        "mode_overrides": {
+            "Stereo": {
+                "cam0": {"fx": 284.9501953125, "fy": 285.115295410156,
+                         "cx": 420.500213623047, "cy": 400.738098144531,
+                         "k1": -0.00530046410858631, "k2": 0.0423333682119846,
+                         "k3": -0.03949885815382, "k4": 0.00682387687265873},
+                "cam1": {"fx": 285.001312255859, "fy": 284.914215087891,
+                         "cx": 411.864196777344, "cy": 403.41259765625,
+                         "k1": -0.00375203299336135, "k2": 0.0379297286272049,
+                         "k3": -0.0352463386952877, "k4": 0.00548873096704},
+                "T_c1_c2": np.array([
+                    [0.999983, 0.00445005, 0.00385861, 0.0636739954352379],
+                    [-0.00443664, 0.999984, -0.00347621,
+                     -0.000252007856033742],
+                    [-0.00387402, 0.00345903, 0.999986,
+                     -8.87895439518616e-05],
+                    [0.0, 0.0, 0.0, 1.0],
+                ]),
+                "lapping": (0, 847),
+                "th_depth": 40.0,
+                "orb": {"n_features": 1000, "ini_th_fast": 15},
+            },
+        },
+    },
+    # TUM-VI "far" variant: outdoor/magistrale sequences where distant
+    # points must be culled (`/root/reference/config/Monocular-Inertial/
+    # TUM-VI_far.yaml:50,57` — System.thFarPoints 20 m, 1250 features)
+    "TUM-VI_far": {
+        "alias_of": "TUM-VI",
+        "modes": ("Monocular-Inertial",),
+        "far_points": 20.0,
+        "orb": {"n_features": 1250},
     },
     # MilkV Duo board camera, 640x360 downscale of a 1920x1080 sensor (the
     # fork's own rig; `/root/reference/config/Monocular/MilkV.yaml:42,74-75`
@@ -232,8 +281,21 @@ def _mat_block(key: str, M: np.ndarray) -> List[str]:
     ]
 
 
+def _resolved(name: str, mode: str) -> Dict:
+    """Dataset table with `alias_of` base and per-mode overrides applied."""
+    d = dict(DATASETS[name])
+    if "alias_of" in d:
+        base = dict(DATASETS[d.pop("alias_of")])
+        base.update(d)
+        d = base
+    d.update(d.get("mode_overrides", {}).get(mode, {}))
+    return d
+
+
 def supports(name: str, mode: str) -> bool:
-    d = DATASETS[name]
+    d = _resolved(name, mode)
+    if "modes" in d and mode not in d["modes"]:
+        return False
     if "Inertial" in mode and "imu" not in d:
         return False
     if "Stereo" in mode and "cam1" not in d and "stereo_b" not in d:
@@ -243,9 +305,9 @@ def supports(name: str, mode: str) -> bool:
 
 def config_text(name: str, mode: str) -> str:
     """Render one settings file (OpenCV FileStorage YAML dialect)."""
-    d = DATASETS[name]
     if not supports(name, mode):
         raise ValueError(f"{name} has no calibration for mode {mode}")
+    d = _resolved(name, mode)
     L = [
         "%YAML:1.0",
         "",
@@ -265,6 +327,13 @@ def config_text(name: str, mode: str) -> str:
     L += [
         f"Camera.width: {d['width']}",
         f"Camera.height: {d['height']}",
+    ]
+    if "new_width" in d:
+        L += [
+            f"Camera.newWidth: {d['new_width']}",
+            f"Camera.newHeight: {d['new_height']}",
+        ]
+    L += [
         f"Camera.fps: {_fmt(d['fps'])}",
         "Camera.RGB: 1",
         "",
@@ -274,9 +343,20 @@ def config_text(name: str, mode: str) -> str:
             L += cam_lines("Camera2", d["cam1"])
             L += _mat_block("Stereo.T_c1_c2", np.asarray(d["T_c1_c2"]))
             L += [""]
+            if "lapping" in d:
+                lo, hi = d["lapping"]
+                L += [
+                    f"Camera1.overlappingBegin: {lo}",
+                    f"Camera1.overlappingEnd: {hi}",
+                    f"Camera2.lappingBegin: {lo}",
+                    f"Camera2.lappingEnd: {hi}",
+                    "",
+                ]
         else:
             L += [f"Stereo.b: {_fmt(d['stereo_b'])}", ""]
         L += [f"Stereo.ThDepth: {_fmt(d.get('th_depth', 60.0))}", ""]
+    if d.get("far_points"):
+        L += [f"System.thFarPoints: {_fmt(d['far_points'])}", ""]
     if "Inertial" in mode:
         imu = d["imu"]
         L += _mat_block("IMU.T_b_c1", np.asarray(d["T_b_c1"]))

@@ -8,8 +8,10 @@ from orb_slam3_ros2_tpu.io import known_configs, settings
 
 def test_all_configs_generate_and_load(tmp_path):
     paths = known_configs.write_all(str(tmp_path))
-    # 24 configs — the same count the reference ships (SURVEY.md §2.1)
-    assert len(paths) == 24
+    # full parity with the reference's 24 files (every reference path has a
+    # generated equivalent — see test_full_reference_tree_parity) plus the
+    # Stereo-Inertial modes and NTU-VIRAL stereo the reference lacks
+    assert len(paths) == 27
     for p in paths:
         s = settings.load_settings(p)
         assert s.camera.width > 0 and s.n_features >= 800
@@ -64,3 +66,83 @@ def test_reference_rigs_present(tmp_path):
     milkv = settings.load_settings(str(tmp_path / "Monocular" / "MilkV.yaml"))
     assert milkv.camera.width == 640 and milkv.camera.height == 360
     assert milkv.save_atlas_to_file == "maps/prev_atlas"
+
+
+def test_full_reference_tree_parity(tmp_path):
+    """Every file in the reference's config/{Monocular,Monocular-Inertial,
+    Stereo}/ tree has a generated equivalent (r2 verdict missing-item 5):
+    Stereo/RealSense_D435i, Stereo/RealSense_T265, Monocular-Inertial/
+    TUM-VI_far, plus the EuRoC mono-inertial 600x350 rescale."""
+    known_configs.write_all(str(tmp_path))
+    reference_tree = {
+        "Monocular": ["EuRoC", "KITTI00-02", "KITTI03", "KITTI04-12",
+                      "MilkV", "NTU_VIRAL", "RealSense_D435i",
+                      "RealSense_T265", "TUM-VI", "TUM1", "TUM2", "TUM3"],
+        "Monocular-Inertial": ["EuRoC", "RealSense_D435i", "RealSense_T265",
+                               "TUM-VI", "TUM-VI_far"],
+        "Stereo": ["EuRoC", "KITTI00-02", "KITTI03", "KITTI04-12",
+                   "RealSense_D435i", "RealSense_T265", "TUM-VI"],
+    }
+    for mode, names in reference_tree.items():
+        for name in names:
+            p = tmp_path / mode / f"{name}.yaml"
+            assert p.is_file(), f"missing generated config {mode}/{name}"
+            settings.load_settings(str(p))
+
+
+def test_stereo_d435i_uses_ir_pair(tmp_path):
+    """Stereo D435i = rectified IR pair, not the color camera
+    (`/root/reference/config/Stereo/RealSense_D435i.yaml:11-16,28`)."""
+    known_configs.write_all(str(tmp_path))
+    s = settings.load_settings(
+        str(tmp_path / "Stereo" / "RealSense_D435i.yaml"))
+    assert abs(s.camera.fx - 382.613) < 1e-6
+    assert abs(s.stereo_b - 0.0499585) < 1e-9
+    # while the mono config keeps the color intrinsics
+    m = settings.load_settings(
+        str(tmp_path / "Monocular" / "RealSense_D435i.yaml"))
+    assert abs(m.camera.fx - 615.37) < 1e-6
+
+
+def test_stereo_t265_full_rig(tmp_path):
+    """Stereo T265: KB8 pair + T_c1_c2 (~6.4 cm baseline)
+    (`/root/reference/config/Stereo/RealSense_T265.yaml:34-41`)."""
+    import numpy as np
+
+    from orb_slam3_ros2_tpu.models.cameras import CameraModel
+
+    known_configs.write_all(str(tmp_path))
+    s = settings.load_settings(
+        str(tmp_path / "Stereo" / "RealSense_T265.yaml"))
+    assert s.camera.model == CameraModel.KANNALA_BRANDT8
+    assert s.camera2 is not None
+    assert abs(np.linalg.norm(s.T_c1_c2[:3, 3]) - 0.0637) < 0.001
+
+
+def test_tumvi_far_variant(tmp_path):
+    """TUM-VI_far: same rig, 20 m far-point cull + 1250 features
+    (`/root/reference/config/Monocular-Inertial/TUM-VI_far.yaml:50,57`)."""
+    known_configs.write_all(str(tmp_path))
+    s = settings.load_settings(
+        str(tmp_path / "Monocular-Inertial" / "TUM-VI_far.yaml"))
+    assert s.th_far_points == 20.0
+    assert s.n_features == 1250
+    base = settings.load_settings(
+        str(tmp_path / "Monocular-Inertial" / "TUM-VI.yaml"))
+    assert abs(s.camera.fx - base.camera.fx) < 1e-9
+
+
+def test_euroc_mono_inertial_effective_resolution(tmp_path):
+    """EuRoC mono-inertial honors Camera.newWidth/newHeight 600x350 — the
+    resolution the reference actually evaluates at
+    (`/root/reference/config/Monocular-Inertial/EuRoC.yaml:24-25`) — with
+    intrinsics rescaled by the settings loader."""
+    known_configs.write_all(str(tmp_path))
+    s = settings.load_settings(
+        str(tmp_path / "Monocular-Inertial" / "EuRoC.yaml"))
+    assert (s.camera.width, s.camera.height) == (600, 350)
+    assert abs(s.camera.fx - 458.654 * 600 / 752) < 1e-6
+    assert abs(s.camera.fy - 457.296 * 350 / 480) < 1e-6
+    # other EuRoC modes stay at the native resolution
+    m = settings.load_settings(str(tmp_path / "Monocular" / "EuRoC.yaml"))
+    assert (m.camera.width, m.camera.height) == (752, 480)
