@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from orb_slam3_ros2_tpu.backend import residuals as res
 from orb_slam3_ros2_tpu.geom import lie
+from orb_slam3_ros2_tpu.ops import chol_small
 
 # math.sqrt, NOT jnp: a module-level device computation would force a
 # device->host readback at import time, which flips the remote-relay TPU
@@ -108,7 +109,7 @@ def ba_iteration(p: BAProblem, fx, fy, cx, cy, w_active, lam):
     Hll = Hll + lam * jnp.abs(jnp.einsum("lii->li", Hll))[:, :, None] * eye3 \
         + 1e-8 * eye3
 
-    Hll_inv = jnp.linalg.inv(Hll)  # (L,3,3) batched tiny inverse
+    Hll_inv = chol_small.inv3x3_spd(Hll)  # closed form — no LU custom call
 
     # Schur complement of the landmark block
     WHinv = jnp.einsum("klab,lbc->klac", W, Hll_inv)  # (K,L,6,3)

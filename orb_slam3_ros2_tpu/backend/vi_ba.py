@@ -30,6 +30,7 @@ from orb_slam3_ros2_tpu.backend import ba as ba_mod
 from orb_slam3_ros2_tpu.backend import residuals as res
 from orb_slam3_ros2_tpu.geom import lie
 from orb_slam3_ros2_tpu.imu import preintegration as pre_mod
+from orb_slam3_ros2_tpu.ops import chol_small
 
 HUBER = ba_mod.HUBER
 FIXED_PRIOR = ba_mod.FIXED_PRIOR
@@ -152,7 +153,7 @@ def vi_bundle_adjust(
         eye3 = jnp.eye(3)
         Hll = Hll + lam * jnp.abs(jnp.einsum("lii->li", Hll))[:, :, None] \
             * eye3 + 1e-8 * eye3
-        Hll_inv = jnp.linalg.inv(Hll)
+        Hll_inv = chol_small.inv3x3_spd(Hll)  # closed form — no LU call
         WHinv = jnp.einsum("klab,lbc->klac", Wcl, Hll_inv)
         S_pose = -jnp.einsum("klac,mldc->kmad", WHinv, Wcl)
         S_pose = S_pose.at[jnp.arange(K), jnp.arange(K)].add(Hcc)

@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from orb_slam3_ros2_tpu.atlas import map_state as ms
 from orb_slam3_ros2_tpu.backend import ba as ba_mod
 from orb_slam3_ros2_tpu.backend import pose_opt
+from orb_slam3_ros2_tpu.backend import pose_opt_fused
 from orb_slam3_ros2_tpu.geom import lie
+from orb_slam3_ros2_tpu.ops import fused_match
 from orb_slam3_ros2_tpu.ops import matcher
 from orb_slam3_ros2_tpu.ops import orb_descriptor as desc_ops
 
@@ -125,19 +127,17 @@ def match_to_map(
         idx, sub_uv, sub_signs, sub_valid = gather_visible_landmarks(
             m, lm_uv, lm_vis, cap_visible, lm_signs
         )
-        gate = matcher.window_gate(feat_uv, sub_uv, radius)
-        res = matcher.match(
-            feat_signs, feat_mask, sub_signs, sub_valid,
-            max_dist=max_dist, ratio=0.9, gate=gate, mutual=True,
+        res = fused_match.match_window(
+            feat_signs, feat_mask, feat_uv, sub_signs, sub_valid, sub_uv,
+            radius=radius, max_dist=max_dist, ratio=0.9, mutual=True,
         )
         obs_lm = jnp.where(res.idx >= 0, idx[jnp.maximum(res.idx, 0)], -1)
     else:
         if lm_signs is None:
             lm_signs = desc_ops.signs_from_bits(m.lm_bits)
-        gate = matcher.window_gate(feat_uv, lm_uv, radius)  # (N, L)
-        res = matcher.match(
-            feat_signs, feat_mask, lm_signs, lm_vis,
-            max_dist=max_dist, ratio=0.9, gate=gate, mutual=True,
+        res = fused_match.match_window(
+            feat_signs, feat_mask, feat_uv, lm_signs, lm_vis, lm_uv,
+            radius=radius, max_dist=max_dist, ratio=0.9, mutual=True,
         )
         obs_lm = res.idx
 
@@ -167,7 +167,7 @@ def track_pose(
     lm_safe = jnp.where(has, obs_lm, 0)
     X = m.lm_X[lm_safe]
     inv_s2 = scale_factor ** (-2.0 * feat_level.astype(jnp.float32))
-    res = pose_opt.optimize_pose(
+    res = pose_opt_fused.optimize_pose_fused(
         R0, t0, X, feat_uv, inv_s2, has, fx, fy, cx, cy,
     )
     obs_clean = jnp.where(res.inliers, obs_lm, -1)
@@ -414,13 +414,12 @@ def fuse_map_points(
     feat_valid = m.kf_feat_valid[kf_id]
     signs = desc_ops.signs_from_bits(m.kf_bits[kf_id])
     lm_signs = desc_ops.signs_from_bits(m.lm_bits)
-    gate = matcher.window_gate(feat_uv, lm_uv, radius)
     # no ratio test / no mutual check: the Fuse pass must let a feature match
     # a landmark whose descriptor duplicates its current association — that
     # tie IS the merge signal (upstream ORBmatcher::Fuse uses plain TH_LOW)
-    res = matcher.match(
-        signs, feat_valid, lm_signs, lm_vis,
-        max_dist=max_dist, ratio=None, gate=gate, mutual=False,
+    res = fused_match.match_window(
+        signs, feat_valid, feat_uv, lm_signs, lm_vis, lm_uv,
+        radius=radius, max_dist=max_dist, ratio=None, mutual=False,
     )
     lm_match = res.idx  # (N,) matched landmark per feature, -1 = none
     cur = m.kf_obs_lm[kf_id]

@@ -30,6 +30,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from orb_slam3_ros2_tpu.backend import ba as ba_mod
 from orb_slam3_ros2_tpu.backend import residuals as res
 from orb_slam3_ros2_tpu.geom import lie
+from orb_slam3_ros2_tpu.ops import chol_small
 from orb_slam3_ros2_tpu.parallel import mesh as mesh_mod
 
 HUBER = ba_mod.HUBER
@@ -70,7 +71,7 @@ def _shard_step(R, t, X, uv, w, fixed, point_valid, lam, fx, fy, cx, cy):
     eye3 = jnp.eye(3)
     Hll = Hll + lam * jnp.abs(jnp.einsum("lii->li", Hll))[:, :, None] * eye3 \
         + 1e-8 * eye3
-    Hll_inv = jnp.linalg.inv(Hll)
+    Hll_inv = chol_small.inv3x3_spd(Hll)  # closed form — no LU custom call
 
     WHinv = jnp.einsum("klab,lbc->klac", W, Hll_inv)
     S_off_p = jnp.einsum("klac,mldc->kmad", WHinv, W)

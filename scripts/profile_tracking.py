@@ -169,22 +169,26 @@ def main():
     est["extract"] = dict(
         bytes=est["pyramid"]["bytes"] + extract_extra["bytes"],
         flops=est["pyramid"]["flops"] + extract_extra["flops"], kind="f32")
-    # match: project all L landmarks + (N, L) hamming matmul in bf16 +
-    # (N, L) bf16 distance-matrix traffic: one write + three fused
-    # reduction passes (row argmin, masked second-best min, col argmin)
+    # match (fused streaming kernel, ops/fused_match.py): NO (N, L)
+    # materialization — HBM traffic is the two bf16 sign matrices + the
+    # projection pass + (N,) outputs; the distance block lives in VMEM
     Lm = mcfg.max_lm
+    Np_pad = -(-n_feat // 128) * 128
     match = dict(
-        bytes=(Lm * (12 + 4)                  # lm_X read + uv write
-               + n_feat * 256 * 4 + Lm * 256 * 4   # sign matrices
-               + n_feat * Lm * 2 * 4),        # bf16 dist passes
-        flops=2 * n_feat * 256 * Lm, kind="bf16")
+        bytes=(Lm * (12 + 4 + 4)              # lm_X read + uv/vis write
+               + Np_pad * 256 * 2 + Lm * 256 * 2   # bf16 sign matrices
+               + Np_pad * 16 + Lm * 12        # uv/mask vectors + col idx
+               + n_feat * 256 * 4),           # f32->bf16 cast read of signs
+        flops=2 * Np_pad * 256 * Lm, kind="bf16")
     est["extract+match"] = dict(
         bytes=est["extract"]["bytes"] + match["bytes"],
         flops=est["extract"]["flops"] + match["flops"], kind="mixed")
-    # pose LM: n_iters x (residual+jacobian per obs + 6x6 solve)
-    pose_iters = 10
-    pose = dict(bytes=pose_iters * n_feat * (2 + 12 + 2) * 4,
-                flops=pose_iters * n_feat * 150, kind="f32")
+    # pose LM (single fused kernel, backend/pose_opt_fused.py): one read of
+    # the point data + tiny outputs; 16 LM evaluations of ~250 flop/obs.
+    # The bound is in-kernel serial latency, not HBM or MXU.
+    pose_evals = 16
+    pose = dict(bytes=n_feat * (12 + 8 + 4 + 4) + 64 + 4 * Np_pad,
+                flops=pose_evals * n_feat * 250, kind="f32")
     est["full"] = dict(
         bytes=est["extract+match"]["bytes"] + pose["bytes"],
         flops=est["extract+match"]["flops"] + pose["flops"], kind="mixed")
@@ -222,6 +226,14 @@ def main():
         stage_rows.append(row)
         print(json.dumps(stage_rows[-1]))
 
+    # ---------------- BA roofline audit (r2 verdict weak item 3) ----------
+    # Same 64 kf x 8192 lm robust-LM Schur problem bench.py rates; derives
+    # the dense-formulation flop count, the structurally-useful fraction
+    # (observed pairs only), and achieved vs f32-peak throughput.
+    ba_row = _ba_roofline()
+    stage_rows.append(ba_row)
+    print(json.dumps(ba_row))
+
     if args.trace:
         import jax.profiler
 
@@ -240,6 +252,85 @@ def main():
                             n_levels=cfg.n_levels, max_lm=Lm),
                 peaks=dict(hbm_GBs=HBM_GBS, bf16_TFLOPs=PEAK_BF16 / 1e12),
                 stages=stage_rows), f, indent=1)
+
+
+def _ba_roofline():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orb_slam3_ros2_tpu.backend import ba as ba_mod
+    from orb_slam3_ros2_tpu.io import synthetic
+
+    K, L = 64, 8192
+    fx = fy = 458.0
+    cx, cy = 367.0, 248.0
+    rng = np.random.default_rng(0)
+    sc = synthetic.make_scene(n_frames=K, n_points=512, noise_px=0.5, seed=1,
+                              fx=fx, fy=fy, cx=cx, cy=cy)
+    reps = L // 512
+    X = np.tile(sc.X, (reps, 1)) + rng.normal(0, 0.05, (L, 3))
+    uv = np.tile(sc.uv, (1, reps, 1))
+    w = np.tile(sc.vis, (1, reps)).astype(np.float32)
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    problem = ba_mod.BAProblem(
+        R=jnp.asarray(sc.R_cw, jnp.float32),
+        t=jnp.asarray(sc.t_cw + rng.normal(0, 0.02, (K, 3)), jnp.float32),
+        X=jnp.asarray(X, jnp.float32), uv=jnp.asarray(uv, jnp.float32),
+        w=jnp.asarray(w), fixed=jnp.asarray(fixed),
+        point_valid=jnp.ones(L, bool),
+    )
+    times = {}
+    for n_iters in (10, 30):
+        f = jax.jit(lambda p, n=n_iters: ba_mod.bundle_adjust(
+            p, fx, fy, cx, cy, n_iters=n))
+        out = f(problem)
+        jax.block_until_ready(out.R)
+        best = float("inf")
+        for _ in range(N_REPS):
+            t0_ = time.perf_counter()
+            out = f(problem)
+            jax.block_until_ready(out.R)
+            best = min(best, time.perf_counter() - t0_)
+        times[n_iters] = best
+    dt_iter = (times[30] - times[10]) / 20.0
+
+    # dense-formulation flops per LM iteration (S_off dominates: the
+    # (6K, 3L) x (3L, 6K) reduced-camera contraction)
+    KL = K * L
+    f_resid = 3 * 150 * KL          # 1 full eval + 2 cost evals (~avg)
+    f_blocks = 288 * KL             # Hcc/Hll/W/bc/bl grams
+    f_whinv = 108 * KL
+    f_soff = 2 * (6 * K) * (3 * L) * (6 * K)
+    f_solve = (6 * K) ** 3 // 3
+    f_back = 96 * KL
+    dense_flops = f_resid + f_blocks + f_whinv + f_soff + f_solve + f_back
+
+    # structurally useful: only observed (k,l) pairs / co-observing camera
+    # pairs carry information
+    vis = w > 0
+    nnz = float(vis.sum())
+    co = vis.astype(np.float64) @ vis.astype(np.float64).T  # (K, K)
+    useful = (3 * 150 + 288 + 108 + 96) * nnz + 216 * float(co.sum()) \
+        + f_solve
+    achieved = dense_flops / dt_iter
+    t_roof = dense_flops / PEAK_F32
+    return dict(
+        stage=f"BA iteration ({K}kf x {L}lm dense robust-LM Schur)",
+        ms_per_iter=round(dt_iter * 1e3, 3),
+        dense_GFLOP=round(dense_flops / 1e9, 2),
+        structural_GFLOP=round(useful / 1e9, 2),
+        useful_fraction=round(useful / dense_flops, 3),
+        achieved_TFLOPs=round(achieved / 1e12, 2),
+        pct_speed_of_light=round(t_roof / dt_iter * 100, 1),
+        bound="MXU(f32)",
+        note=("dense padding: structural sparsity wastes "
+              f"{round(100 * (1 - useful / dense_flops), 1)}% of the dense "
+              "flops; the covisibility-partitioned block BA "
+              "(parallel/block_ba.py) is the sparse counterpart used at "
+              "map scale"),
+    )
 
 
 if __name__ == "__main__":

@@ -58,8 +58,11 @@ def test_block_sharded_ba_converges_all_blocks():
                                      n_iters=10)
     for b, (sc, p) in enumerate(zip(scenes, problems)):
         ref = ba1(sharded_ba.shard_problem(p, mesh1))
+        # atol 1e-4: the two paths share the math but differ in vmapped
+        # reduction order (and the closed-form 3x3 inverse's rounding);
+        # 1e-4 abs on poses is 80x below the scene-noise assert below
         np.testing.assert_allclose(np.asarray(out.t)[b], np.asarray(ref.t),
-                                   atol=1e-5, err_msg=f"block {b}")
+                                   atol=1e-4, err_msg=f"block {b}")
         t_err = np.linalg.norm(np.asarray(out.t)[b] - sc.t_cw,
                                axis=-1).mean()
         assert t_err < 8e-3, (b, t_err)  # scene noise floor
