@@ -167,21 +167,31 @@ def main():
                 hits10 += 1
             rank = next((r for r, i in enumerate(order) if gt[i]), K)
             ranks.append(rank + 1)
-            # group accumulation over the top-10 candidates (upstream
-            # accumulates BoW score over each candidate's covisibility
-            # group and takes the best-scoring group)
-            score_of = np.full(K, -1.0)
-            score_of[order] = sc
-            best_g, best_cand = -1.0, order[0]
-            for cand in order[:10]:
-                seg = cand // F  # stay within the candidate's sequence
-                lo, hi = max(seg * F, cand - G), min((seg + 1) * F - 1,
-                                                     cand + G)
-                grp = np.arange(lo, hi + 1)
-                gscore = float(np.maximum(score_of[grp], 0.0).sum())
-                if gscore > best_g:
-                    best_g, best_cand = gscore, cand
-            if gt[best_cand]:
+            # upstream DetectLoopCandidates group logic: accumulate the
+            # score of each top-candidate's (temporal stand-in for
+            # covisibility) group over members that are THEMSELVES strong
+            # candidates, retain groups with accScore >= 0.75 * best
+            # accScore, keep each retained group's best single frame, and
+            # pick the best single score among those. The accumulation is
+            # an acceptance FILTER (prunes lone-wolf aliased hits), not a
+            # replacement ranking.
+            topn = order[:10]
+            top_set = set(int(i) for i in topn)
+            score_of = np.full(K, 0.0)
+            score_of[order] = np.maximum(sc, 0.0)
+            groups = []
+            for cand in topn:
+                seg = cand // F  # groups never span sequences
+                members = [m for m in range(max(seg * F, cand - G),
+                                            min((seg + 1) * F, cand + G + 1))
+                           if m in top_set]
+                acc = float(sum(score_of[m] for m in members))
+                best_m = max(members, key=lambda m: score_of[m])
+                groups.append((acc, best_m))
+            best_acc = max(a for a, _ in groups)
+            retained = [m for a, m in groups if a >= 0.75 * best_acc]
+            winner = max(retained, key=lambda m: score_of[m])
+            if gt[winner]:
                 g_hits1 += 1
         row = {"codebook": label, "queries": n_q,
                "db_entries": int(K),
