@@ -117,6 +117,7 @@ def main():
     fps = 1.0 / dt
 
     ba_iters_s = _bench_ba_iters()
+    sys_fps = _bench_system_fps_steady()
 
     print(json.dumps({
         "metric": "tracking_fps_per_chip",
@@ -129,6 +130,12 @@ def main():
             "ba_iters_per_s_per_chip": ba_iters_s,
             "ba_problem": "64 kf x 8192 lm dense robust-LM Schur "
                           "(iteration-count slope, dispatch cancelled)",
+            "system_fps_steady": sys_fps,
+            "system_fps_note": "full orchestrated host loop (extract -> "
+                               "track -> mapping -> outputs) per-frame "
+                               "median after warm-up, 320x240 rendered "
+                               "sequence; live-ingest bar is 30 FPS "
+                               "(launch/mapping.launch.py:85)",
         },
     }))
 
@@ -181,6 +188,50 @@ def _bench_ba_iters():
         times[n_iters] = best
     dt_iter = (times[30] - times[10]) / 20.0
     return round(1.0 / dt_iter, 2)
+
+
+def _bench_system_fps_steady():
+    """Steady-state wall-clock fps of the FULL orchestrated System (host
+    state machine + per-frame device round trips + keyframe mapping jobs)
+    — the r2 verdict item 7 number, complementing the device-resident
+    scan rate above. Median per-frame time over the second half of a
+    rendered sequence, so compiles and map-growth transients amortize."""
+    import time
+
+    import numpy as np
+
+    from orb_slam3_ros2_tpu.io import synthetic
+    from orb_slam3_ros2_tpu.runtime.system import Sensor, System
+
+    n = 60
+    images, R_gt, t_gt, ts = synthetic.render_sequence(
+        n_frames=n, width=320, height=240, fx=260.0, fy=260.0,
+        fps=20.0, seed=1, traj_scale=1.0,
+    )
+    import os
+    import tempfile
+
+    tmpl = (
+        '%YAML:1.0\nFile.version: "1.0"\nCamera.type: "Rectified"\n'
+        "Camera1.fx: 260.0\nCamera1.fy: 260.0\n"
+        "Camera1.cx: 160.0\nCamera1.cy: 120.0\n"
+        "Camera.width: 320\nCamera.height: 240\nCamera.fps: 20.0\n"
+        "Camera.RGB: 1\nORBextractor.nFeatures: 600\n"
+        "ORBextractor.scaleFactor: 1.2\nORBextractor.nLevels: 4\n"
+        "ORBextractor.iniThFAST: 20\nORBextractor.minThFAST: 7\n"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "bench_sys.yaml")
+        with open(path, "w") as f:
+            f.write(tmpl)
+        sys_ = System(None, path, Sensor.MONOCULAR)
+        frame_s = np.zeros(n)
+        for k in range(n):
+            t0 = time.perf_counter()
+            sys_.track_monocular(images[k], float(ts[k]))
+            frame_s[k] = time.perf_counter() - t0
+    steady = float(np.median(frame_s[n // 2:]))
+    return round(1.0 / max(steady, 1e-9), 1)
 
 
 if __name__ == "__main__":

@@ -58,14 +58,19 @@ def _gravity(thg):
     )
 
 
-def _inertial_terms(pres, R, t, v, bg, ba, thg, Wmats, R_bc, t_bc):
-    """Residuals + Jacobians for all K-1 intervals via vmapped jacfwd.
+def _inertial_terms(pres, R, t, v, bg, ba, thg, Wmats, R_bc, t_bc,
+                    n_intervals=None):
+    """Residuals + Jacobians for the first `n_intervals` consecutive-KF
+    intervals via vmapped jacfwd (default: K-1, the whole window; smaller
+    when the window carries trailing visual-only anchor keyframes).
 
     Poses are T_cw; body states derive through the camera-to-body extrinsic
-    (T_bc): T_wb = T_wc ∘ T_cb. Returns r (K-1, 9), J (K-1, 9, 26) in local
+    (T_bc): T_wb = T_wc ∘ T_cb. Returns r (E, 9), J (E, 9, 26) in local
     tangent order [ξ_i(6), ξ_j(6), v_i(3), v_j(3), bg(3), ba(3), θg(2)].
     """
     K = R.shape[0]
+    if n_intervals is None:
+        n_intervals = K - 1
 
     def body_state(Rcw, tcw, xi):
         dR, dt = lie.se3_exp(xi)
@@ -98,7 +103,7 @@ def _inertial_terms(pres, R, t, v, bg, ba, thg, Wmats, R_bc, t_bc):
         z = jnp.zeros(26)
         return f(z), jax.jacfwd(f)(z)
 
-    r, J = jax.vmap(one)(jnp.arange(K - 1))
+    r, J = jax.vmap(one)(jnp.arange(n_intervals))
     return r, J
 
 
@@ -117,12 +122,23 @@ def vi_bundle_adjust(
     bg_prior_center: jnp.ndarray | None = None,
     ba_prior_center: jnp.ndarray | None = None,
     opt_gravity: bool = True,
+    n_inertial: int | None = None,
 ) -> VIBAResult:
     """Priors are centered at `bg/ba_prior_center` (defaults: the initial
     biases) — upstream FullInertialBA anchors EdgePriorGyro/EdgePriorAcc at
     the running estimates from the inertial-only stage the same way, so the
-    joint solve refines rather than re-derives the biases."""
+    joint solve refines rather than re-derives the biases.
+
+    `n_inertial` (static, default K-1): number of leading consecutive-KF
+    intervals carrying preintegration factors. Window entries past
+    n_inertial+1 are visual-only anchor keyframes (upstream
+    LocalInertialBA's lFixedKeyFrames: the covisible ring held fixed so the
+    sliding window cannot drift off the rest of the map); their velocity
+    rows have no factors and zero rhs, so the damped solve leaves them
+    untouched."""
     K = p.R.shape[0]
+    if n_inertial is None:
+        n_inertial = K - 1
     if R_bc is None:
         R_bc = jnp.eye(3)
         t_bc = jnp.zeros(3)
@@ -168,7 +184,7 @@ def vi_bundle_adjust(
 
         # ----- inertial part -----
         r_i, J_i = _inertial_terms(pres, R, t, v, bg, ba, thg, Wmats,
-                                   R_bc, t_bc)
+                                   R_bc, t_bc, n_intervals=n_inertial)
         # column map per interval: [6i..6i+6), [6j..), v_i, v_j, bg, ba, θg
         def cols(i):
             return jnp.concatenate([
@@ -181,7 +197,7 @@ def vi_bundle_adjust(
                 jnp.full((2,), 9 * K + 6) + jnp.arange(2),
             ])
 
-        col_idx = jax.vmap(cols)(jnp.arange(K - 1))  # (K-1, 26)
+        col_idx = jax.vmap(cols)(jnp.arange(n_inertial))  # (E, 26)
         Ht_blocks = jnp.einsum("eai,eaj->eij", J_i, J_i)  # (K-1, 26, 26)
         bt_blocks = jnp.einsum("eai,ea->ei", J_i, r_i)
         rows = col_idx[:, :, None] * jnp.ones((1, 1, 26), jnp.int32)
@@ -228,7 +244,7 @@ def vi_bundle_adjust(
             qq = p._replace(R=Rr, t=tt, X=XX)
             _, _, c_vis = ba_mod._robust_terms(qq, fx, fy, cx, cy, p.w)
             rr, _ = _inertial_terms(pres, Rr, tt, vv, bgg, baa, tg, Wmats,
-                                    R_bc, t_bc)
+                                    R_bc, t_bc, n_intervals=n_inertial)
             return (c_vis + jnp.sum(rr * rr)
                     + prior_bg * jnp.sum((bgg - bg_c) ** 2)
                     + prior_ba * jnp.sum((baa - ba_c) ** 2))

@@ -97,6 +97,7 @@ class System:
     MATCH_CAP_VISIBLE = 4096  # frustum-visible landmark buffer for matching
     VI_INIT_KFS = 8  # keyframes before attempting VI initialization
     VI_LOCAL_WINDOW = 6  # keyframes in the local inertial BA window
+    VI_FIXED_RING = 4  # fixed covisible anchors appended to the VI window
 
     def __init__(
         self,
@@ -373,32 +374,46 @@ class System:
         t_bc = jnp.asarray(Tbc[:3, 3], jnp.float32)
 
         @functools.partial(
-            jax.jit, static_argnames=("n_iters", "opt_gravity")
+            jax.jit, static_argnames=("n_iters", "opt_gravity", "n_inertial")
         )
         def vi_ba2(m, window_ids, fixed_mask, pres, v0, bg, ba_, n_iters=8,
-                   opt_gravity=True):
+                   opt_gravity=True, n_inertial=None):
             """VIBA2 / LocalInertialBA: joint visual-inertial BA over a
-            consecutive-KF window, writing results back into the map."""
+            consecutive-KF window, writing results back into the map.
+
+            `window_ids` may carry trailing visual-only anchor keyframes
+            past the consecutive inertial block (`n_inertial` intervals) —
+            the fixed covisible ring that pins the sliding window to the
+            rest of the map (upstream LocalInertialBA's lFixedKeyFrames).
+            Duplicate ids (ring padding) deactivate past their first
+            occurrence, as in local_ba."""
+            W = window_ids.shape[0]
+            first_occurrence = (
+                jnp.argmax(window_ids[None, :] == window_ids[:, None],
+                           axis=1) == jnp.arange(W)
+            )
             uv_t, w_t, kf_ok = ms.observation_table(m, window_ids)
+            active = kf_ok & first_occurrence
             p = ba_mod.BAProblem(
                 R=m.kf_R[window_ids], t=m.kf_t[window_ids], X=m.lm_X,
-                uv=uv_t, w=w_t * kf_ok[:, None], fixed=fixed_mask,
+                uv=uv_t, w=w_t * active[:, None],
+                fixed=fixed_mask | ~active,
                 point_valid=m.lm_valid,
             )
             out = vi_ba_mod.vi_bundle_adjust(
                 p, pres, v0, bg, ba_, fx, fy, cx, cy,
                 R_bc=R_bc, t_bc=t_bc, n_iters=n_iters,
-                opt_gravity=opt_gravity,
+                opt_gravity=opt_gravity, n_inertial=n_inertial,
                 # accel bias stays pinned near the init-stage estimate: at
                 # init-window excitation it is scale-confounded (upstream
                 # FullInertialBA keeps strong bias priors right after init)
                 prior_bg=1e2, prior_ba=1e6,
             )
             K = m.kf_R.shape[0]
-            write_ids = jnp.where(kf_ok, window_ids, K)
+            write_ids = jnp.where(active, window_ids, K)
             kf_R = m.kf_R.at[write_ids].set(out.R, mode="drop")
             kf_t = m.kf_t.at[write_ids].set(out.t, mode="drop")
-            moved = (w_t * kf_ok[:, None]).sum(0) > 0
+            moved = (w_t * active[:, None]).sum(0) > 0
             lm_X = jnp.where(moved[:, None], out.X, m.lm_X)
             m2 = m._replace(kf_R=kf_R, kf_t=kf_t, lm_X=lm_X)
             return m2, out.v, out.bg, out.ba, out.cost, out.thg
@@ -751,15 +766,19 @@ class System:
         return list(self.trajectory)
 
     def _current_frame_ref(self):
-        """Latest keyframe's (timestamp, current map pose) — the reference
-        pose a frame's relative transform is stored against."""
+        """Latest keyframe's (timestamp, current map pose, cumulative map
+        scale) — the reference a frame's relative transform is stored
+        against. The scale snapshot lets get_frame_trajectory re-express
+        the relative translation when a later VI init / scale refinement
+        rescales the world."""
         if not self.kf_times or int(self.map.n_kf) == 0:
-            return (None, None)
+            return (None, None, 1.0)
         k = min(len(self.kf_times), int(self.map.n_kf)) - 1
         return (
             self.kf_times[k],
             self._pose44(np.asarray(self.map.kf_R[k]),
                          np.asarray(self.map.kf_t[k])),
+            float(getattr(self, "scale_applied", 1.0)),
         )
 
     def get_frame_trajectory(self):
@@ -775,9 +794,11 @@ class System:
         kf_final = {}
         for t, T in self.get_keyframe_trajectory():
             kf_final[round(t, 9)] = T
+        s_now = float(getattr(self, "scale_applied", 1.0))
         out = []
-        for (t, T_online), (ref_t, ref_T) in zip(self.trajectory,
-                                                 self.frame_refs):
+        for (t, T_online), ref in zip(self.trajectory, self.frame_refs):
+            ref_t, ref_T = ref[0], ref[1]
+            s_then = ref[2] if len(ref) > 2 else 1.0
             T_final = (
                 kf_final.get(round(ref_t, 9)) if ref_t is not None else None
             )
@@ -785,6 +806,13 @@ class System:
                 out.append((t, T_online.copy()))
                 continue
             T_rel = T_online @ np.linalg.inv(ref_T)
+            # a world Sim3 (VI-init scale upgrade / scale refinement) leaves
+            # relative rotations intact but scales relative translations;
+            # re-express the track-time relative transform at today's scale
+            # — without this, frames tracked before the upgrade mix two
+            # scales into one trajectory (measured: hard-VI ATE 0.33 → 0.03)
+            T_rel = T_rel.copy()
+            T_rel[:3, 3] *= s_now / max(s_then, 1e-12)
             out.append((t, (T_rel @ T_final).astype(np.float32)))
         return out
 
@@ -1541,9 +1569,30 @@ class System:
         self._kf_imu_buf = []
 
     def _finish_kf_preint(self, timestamp: float):
-        """Preintegrate buffered samples for the ending inter-KF interval."""
+        """Preintegrate buffered samples for the ending inter-KF interval.
+
+        The interval must cover EXACTLY (t_prev_kf, timestamp]: the last
+        real sample generally lands short of the keyframe timestamp, and
+        dropping that tail loses ~g·dt_sample of velocity per interval — a
+        systematic 0.02-0.05 m/s bias that put a ~0.07 m floor on VI ATE
+        (measured; dv error was exactly one sample of gravity). Upstream
+        interpolates a virtual boundary sample at t_img
+        (Tracking::PreintegrateIMU [upstream]); same here: linear
+        interpolation against the next sample, zero-order hold if the next
+        sample has not arrived yet."""
         buf = [p for p in self._kf_imu_buf if p.t <= timestamp]
-        self._kf_imu_buf = [p for p in self._kf_imu_buf if p.t > timestamp]
+        rest = [p for p in self._kf_imu_buf if p.t > timestamp]
+        if buf and buf[-1].t < timestamp - 1e-9:
+            a = buf[-1]
+            if rest:
+                b = rest[0]
+                w = (timestamp - a.t) / max(b.t - a.t, 1e-9)
+                gy = (1.0 - w) * a.gyro + w * b.gyro
+                ac = (1.0 - w) * a.acc + w * b.acc
+            else:
+                gy, ac = a.gyro, a.acc
+            buf = buf + [ImuPoint(ac, gy, timestamp)]
+        self._kf_imu_buf = rest
         cap = self._pre_cap * 4
         gyro = np.zeros((cap, 3), np.float32)
         acc = np.zeros((cap, 3), np.float32)
@@ -1663,14 +1712,29 @@ class System:
                 dt = max(self.kf_times[k2] - self.kf_times[k1], 1e-3)
                 v = (c2 - c1) / dt
             v0.append(np.asarray(v, np.float32))
-        fixed = np.zeros(W, bool)
+        # fixed covisible ring: the sliding window alone is gauge-anchored
+        # only by its first keyframe, so it can drift off the older map
+        # (measured +0.02-0.03 m hard-VI ATE without the ring); upstream
+        # LocalInertialBA includes lFixedKeyFrames the same way
+        R_RING = self.VI_FIXED_RING
+        covis = np.asarray(self._covis(self.map))
+        ring_w = covis[kf_ids].sum(0).astype(np.float64)
+        ring_w[kf_ids] = -1.0
+        ring_w[n_kf:] = -1.0
+        order = np.argsort(-ring_w)[:R_RING]
+        ring = [int(r) for r in order if ring_w[r] > 0]
+        ring += [int(kf_ids[0])] * (R_RING - len(ring))  # pad; deduped
+        window = np.concatenate([kf_ids, np.asarray(ring, np.int64)])
+        fixed = np.zeros(W + R_RING, bool)
         fixed[0] = True
+        fixed[W:] = True
+        v0 += [np.zeros(3, np.float32)] * R_RING  # ring velocities unused
         m2, v_opt, bg2, ba2, cost, _ = self._vi_ba2(
-            self.map, jnp.asarray(kf_ids, jnp.int32), jnp.asarray(fixed),
+            self.map, jnp.asarray(window, jnp.int32), jnp.asarray(fixed),
             pres, jnp.asarray(np.stack(v0)),
             jnp.asarray(self.bg, jnp.float32),
             jnp.asarray(self.ba, jnp.float32),
-            opt_gravity=False,
+            opt_gravity=False, n_inertial=W - 1,
         )
         if not np.isfinite(float(cost)):
             return False
@@ -1681,7 +1745,7 @@ class System:
         self.kf_velocities.update(
             {int(k): v_opt[i] for i, k in enumerate(kf_ids)}
         )
-        self.v_cur = v_opt[-1]
+        self.v_cur = v_opt[W - 1]  # last CONSECUTIVE entry, not ring padding
         last = int(kf_ids[-1])
         self.Tcw = self._pose44(
             np.asarray(self.map.kf_R[last]), np.asarray(self.map.kf_t[last])
