@@ -38,6 +38,13 @@ class MergeCandidate(NamedTuple):
     t: np.ndarray
     s: float
     n_inliers: int
+    # Sim3-inlier landmark duplicates: rows of (active_lm_id, old_lm_id).
+    # These are the SAME physical points seen by both maps — the caller
+    # should alias them in the merge so the welded map carries
+    # cross-observations (the geometry that actually binds the two sides
+    # in a subsequent BA; the raw 3D-3D Sim3 is only as good as mono
+    # triangulation depth noise). Empty (0, 2) when not computed.
+    lm_pairs: np.ndarray = np.zeros((0, 2), np.int32)
 
 
 @jax.jit
@@ -75,6 +82,7 @@ def detect_cross_map(
     N = idx.shape[0]
     pa = np.zeros((N, 3), np.float32)
     pb = np.zeros((N, 3), np.float32)
+    pair_ids = np.full((N, 2), -1, np.int32)
     mask = np.zeros((N,), bool)
     for i in range(N):
         j = idx[i]
@@ -85,6 +93,7 @@ def detect_cross_map(
             continue
         pa[i] = Xa[la]
         pb[i] = Xb[lb]
+        pair_ids[i] = (la, lb)
         mask[i] = True
     if mask.sum() < min_inliers:
         return None
@@ -96,9 +105,11 @@ def detect_cross_map(
     )
     if not bool(res.ok):
         return None
+    inl = np.asarray(res.inliers) & mask
     return MergeCandidate(
         ok=True, old_kf=old_kf, R=np.asarray(res.R), t=np.asarray(res.t),
         s=float(res.s), n_inliers=int(res.n_inliers),
+        lm_pairs=pair_ids[inl],
     )
 
 
@@ -109,6 +120,7 @@ def merge_maps(
     t_ao: np.ndarray,
     s_ao: float,
     cfg: ms.MapConfig,
+    lm_alias: Optional[np.ndarray] = None,
 ) -> Tuple[ms.MapState, np.ndarray, int]:
     """Weld `old` (transformed by Sim3 active←old) into `active`.
 
@@ -117,6 +129,14 @@ def merge_maps(
         R_cw' = R_cw_o Rᵀ,   t_cw' = s·t_cw_o − R_cw' t.
     Returns (merged map, kept-old-KF index array, kf slot offset) so the
     caller can transport the BoW database rows of the surviving keyframes.
+
+    `lm_alias` ((L_old,) int32, -1 = none): old-map landmarks identified as
+    DUPLICATES of an active-map landmark (e.g. the Sim3-inlier pairs from
+    `detect_cross_map`). Aliased landmarks are not copied; the old map's
+    observations of them re-point at the active landmark, giving the welded
+    map cross-map observations — the constraints a subsequent (global) BA
+    needs to pull the two sides into one rigid geometry (upstream
+    LoopClosing::MergeLocal's SearchAndFuse does the same job).
     """
     A = {k: np.array(v) for k, v in active._asdict().items()}  # mutable copies
     O = {k: np.asarray(v) for k, v in old._asdict().items()}
@@ -129,8 +149,12 @@ def merge_maps(
     take_kf = min(n_kf_o, room_kf)
     kept_kf = np.arange(n_kf_o - take_kf, n_kf_o)  # old ids kept, in order
 
-    # ---- landmarks: highest-observation-count first
+    # ---- landmarks: highest-observation-count first; aliased duplicates
+    # re-point at their active-map counterpart instead of being copied
     lm_valid_o = O["lm_valid"].copy()
+    if lm_alias is None:
+        lm_alias = np.full(L, -1, np.int32)
+    lm_valid_o[lm_alias >= 0] = False  # don't copy duplicates
     lm_ids_o = np.where(lm_valid_o)[0]
     n_lm_a = int(A["lm_valid"].sum())
     room_lm = L - n_lm_a
@@ -138,8 +162,13 @@ def merge_maps(
         order = np.argsort(-O["lm_n_obs"][lm_ids_o])
         lm_ids_o = lm_ids_o[order[:room_lm]]
     free_slots = np.where(~A["lm_valid"])[0][: len(lm_ids_o)]
-    lm_remap = np.full(L, -1, np.int32)
+    lm_remap = np.where(lm_alias >= 0, lm_alias, np.full(L, -1, np.int32))
     lm_remap[lm_ids_o] = free_slots
+    # observation bookkeeping for the duplicates the old map contributes
+    dup = lm_alias >= 0
+    np.add.at(A["lm_n_obs"], lm_alias[dup], O["lm_n_obs"][dup])
+    np.add.at(A["lm_found"], lm_alias[dup], O["lm_found"][dup])
+    np.add.at(A["lm_visible"], lm_alias[dup], O["lm_visible"][dup])
 
     # ---- transforms
     R_ao = np.asarray(R_ao, np.float32)
@@ -184,3 +213,71 @@ def merge_maps(
     )
     merged = ms.MapState(**{k: jnp.asarray(v) for k, v in A.items()})
     return merged, kept_kf, n_kf_a
+
+
+def refine_weld_pnp(
+    active: ms.MapState,
+    old: ms.MapState,
+    cand: MergeCandidate,
+    fx: float, fy: float, cx: float, cy: float,
+) -> MergeCandidate:
+    """Refine a 3D-3D Sim3 weld with 3D-2D reprojection (upstream's
+    Optimizer::OptimizeSim3 uses reprojection residuals for the same
+    reason: mono landmark depth noise bounds a 3D-3D alignment at a few
+    percent of scene depth, while reprojection is pixel-accurate).
+
+    Solves the peer keyframe's pose in the ACTIVE world by robust PnP on
+    the duplicate-landmark pairs (active 3D position <- peer 2D feature),
+    then backs the Sim3 rotation/translation out of the refined pose,
+    keeping the 3D-3D scale estimate:
+        R_cw' = R_cw_o R^T  =>  R = R_cw'^T R_cw_o
+        t_cw' = s t_cw_o - R_cw' t  =>  t = R_cw'^T (s t_cw_o - t_cw')
+    """
+    from orb_slam3_ros2_tpu.backend import pose_opt
+
+    if cand.lm_pairs.shape[0] < 12:
+        return cand
+    old_kf = cand.old_kf
+    obs = np.asarray(old.kf_obs_lm[old_kf])
+    uv_kf = np.asarray(old.kf_uv[old_kf])
+    lookup = {int(lb): int(la) for la, lb in cand.lm_pairs}
+    N = obs.shape[0]
+    X = np.zeros((N, 3), np.float32)
+    uv = np.zeros((N, 2), np.float32)
+    mask = np.zeros((N,), bool)
+    Xa = np.asarray(active.lm_X)
+    for j in range(N):
+        la = lookup.get(int(obs[j]))
+        if la is None:
+            continue
+        X[j] = Xa[la]
+        uv[j] = uv_kf[j]
+        mask[j] = True
+    if mask.sum() < 12:
+        return cand
+
+    R_o = np.asarray(old.kf_R[old_kf])
+    t_o = np.asarray(old.kf_t[old_kf])
+    s = float(cand.s)
+    R0 = R_o @ cand.R.T
+    t0 = s * t_o - R0 @ cand.t
+    ones = np.ones((N,), np.float32)
+    # two-stage gate: the Sim3 seed can start ~10 px off (outside the
+    # standard chi2 window), so converge coarse first, then polish tight
+    res1 = pose_opt.optimize_pose(
+        jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(X), jnp.asarray(uv),
+        jnp.asarray(ones), jnp.asarray(mask), fx, fy, cx, cy,
+        n_rounds=2, iters_per_round=6, chi2_th=400.0,
+    )
+    res2 = pose_opt.optimize_pose(
+        res1.R, res1.t, jnp.asarray(X), jnp.asarray(uv),
+        jnp.asarray(ones), jnp.asarray(mask), fx, fy, cx, cy,
+        n_rounds=3, iters_per_round=5,
+    )
+    if int(res2.n_inliers) < 12:
+        return cand
+    R_a = np.asarray(res2.R)
+    t_a = np.asarray(res2.t)
+    R_new = R_a.T @ R_o
+    t_new = R_a.T @ (s * t_o - t_a)
+    return cand._replace(R=R_new, t=t_new, n_inliers=int(res2.n_inliers))

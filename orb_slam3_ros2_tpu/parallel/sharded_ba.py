@@ -130,16 +130,36 @@ def make_sharded_ba(mesh, fx, fy, cx, cy, n_iters: int = 10):
         check_vma=False,
     )
     def run(R, t, X, uv, w, fixed, point_valid):
-        def body(carry, _):
-            R, t, X, lam = carry
-            R, t, X, lam, cost = _shard_step(
-                R, t, X, uv, w, fixed, point_valid, lam, fx, fy, cx, cy
+        # periodic chi2 re-classification, same two-stage semantics as the
+        # in-chip bundle_adjust (optimize-all first, then gate): entirely
+        # shard-local — each shard gates only its own landmarks'
+        # observations, so robustness costs zero extra collectives. Without
+        # it, gross outliers (e.g. wrong cross-map landmark aliases after
+        # an Atlas weld) keep a constant Huber pull forever and bias the
+        # converged poses.
+        def refresh(R, t, X):
+            proj = res.reproj_residual(
+                R[:, None], t[:, None], X[None, :], uv, fx, fy, cx, cy
             )
-            return (R, t, X, lam), cost
+            chi2 = jnp.sum(proj.r**2, axis=-1) * w
+            keep = ((chi2 <= res.CHI2_MONO)
+                    & (proj.depth > 0.05) & (w > 0))
+            return w * keep
 
-        (R, t, X, lam), costs = jax.lax.scan(
-            body, (R, t, X, jnp.asarray(1e-4, jnp.float32)), None,
-            length=n_iters,
+        def body(carry, it):
+            R, t, X, lam, w_act = carry
+            w_act = jax.lax.cond(
+                (it > 0) & ((it % 5) == 0),
+                lambda: refresh(R, t, X), lambda: w_act,
+            )
+            R, t, X, lam, cost = _shard_step(
+                R, t, X, uv, w_act, fixed, point_valid, lam, fx, fy, cx, cy
+            )
+            return (R, t, X, lam, w_act), cost
+
+        (R, t, X, lam, _), costs = jax.lax.scan(
+            body, (R, t, X, jnp.asarray(1e-4, jnp.float32), w),
+            jnp.arange(n_iters),
         )
         return R, t, X, costs
 

@@ -272,11 +272,15 @@ class System:
         # the frustum-visible subset gather (constant matching cost in L)
         cap_vis = (self.MATCH_CAP_VISIBLE
                    if self.map_cfg.max_lm > self.MATCH_CAP_VISIBLE else None)
+        # radius/max_dist are Pallas kernel constants (fused_match bakes
+        # the window gate into the kernel) — static args, one compiled
+        # variant per distinct radius (default / widened 30 / tight 7)
         self._match_to_map = jax.jit(
             functools.partial(
                 trk.match_to_map, fx=fx, fy=fy, cx=cx, cy=cy,
                 width=W, height=H, cap_visible=cap_vis,
-            )
+            ),
+            static_argnames=("radius", "max_dist"),
         )
 
         self._track_pose = jax.jit(
@@ -1498,6 +1502,14 @@ class System:
             )
             if cand is None:
                 continue
+            # refine the 3D-3D Sim3 seed with reprojection (the 3D-3D
+            # alignment is bounded by mono landmark depth noise — a few
+            # percent of scene depth; PnP on the duplicate pairs is
+            # pixel-accurate, upstream Optimizer::OptimizeSim3 semantics)
+            cand = merging_mod.refine_weld_pnp(
+                self.map, old_map, cand,
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            )
             # Sim3 old <- active = inverse of the solved active <- old ...
             # detect_cross_map solves x_active = s R x_old + t, but here the
             # roles are (a = current active, b = old map): it returned
@@ -1505,8 +1517,16 @@ class System:
             s_inv = 1.0 / cand.s
             R_inv = cand.R.T
             t_inv = -s_inv * (R_inv @ cand.t)
+            # duplicate landmarks alias onto the old map's ids: the welded
+            # map then carries cross-map observations, which is what makes
+            # the post-merge (global) BA actually bind the two sides
+            alias = np.full(self.map_cfg.max_lm, -1, np.int32)
+            if cand.lm_pairs.size:
+                # pairs are (active_lm, old_lm); the incoming map is ACTIVE
+                alias[cand.lm_pairs[:, 0]] = cand.lm_pairs[:, 1]
             merged, kept_kf, kf_off_slots = merging_mod.merge_maps(
                 old_map, self.map, R_inv, t_inv, s_inv, self.map_cfg,
+                lm_alias=alias,
             )
             # bow database: old map's rows + the active map's surviving rows
             vecs = np.asarray(old_db.vecs).copy()
