@@ -1322,10 +1322,41 @@ class System:
         exclude[max(new_kf - self.LOOP_EXCLUDE, 0):] = True
         scores, ids = vocab_mod.query(
             self.bow_db, feats.signs, feats.mask, jnp.asarray(exclude),
-            top_k=3,
+            top_k=8,
         )
         scores = np.asarray(scores)
         ids = np.asarray(ids)
+        # covisibility-group score accumulation (upstream KeyFrameDatabase::
+        # DetectLoopCandidates): each hit's score is accumulated over the
+        # hits inside its covisible group, groups below 0.75x the best
+        # accumulated score are dropped, and the best-scoring member
+        # represents each group — at map scale this is what separates a
+        # true revisit (several covisible keyframes all score) from an
+        # isolated perceptual-aliasing hit
+        hits = [(int(ids[r]), float(scores[r]))
+                for r in range(len(ids))
+                if scores[r] >= self.LOOP_MIN_SCORE]
+        acc = []
+        for c, s in hits:
+            group = set(np.flatnonzero(covis[c] > 0).tolist()) | {c}
+            acc_s = sum(s2 for c2, s2 in hits if c2 in group)
+            acc.append((c, s, acc_s))
+        if acc:
+            best_acc = max(a for _, _, a in acc)
+            seen_groups: set = set()
+            keep_ids, keep_scores = [], []
+            for c, s, a in sorted(acc, key=lambda x: -x[2]):
+                if a < 0.75 * best_acc or c in seen_groups:
+                    continue
+                keep_ids.append(c)
+                keep_scores.append(s)
+                seen_groups |= set(np.flatnonzero(covis[c] > 0).tolist())
+                seen_groups.add(c)
+            scores = np.asarray(keep_scores, np.float32)
+            ids = np.asarray(keep_ids, np.int32)
+        else:
+            scores = np.zeros((0,), np.float32)
+            ids = np.zeros((0,), np.int32)
         consistent = self._update_loop_consistency(scores, ids, covis)
         for cand_kf in consistent:
             cand = closing_mod.detect_and_verify(
@@ -1866,7 +1897,7 @@ class System:
             scores, ids = vocab_mod.query(
                 self.bow_db, feats.signs, feats.mask,
                 jnp.zeros((self.map_cfg.max_kf,), bool),
-                top_k=2,
+                top_k=5,
             )
             for rank in range(len(np.asarray(ids))):
                 if float(np.asarray(scores)[rank]) <= 0.0:
