@@ -152,6 +152,77 @@ def match_to_map(
     )
 
 
+def track_frame(
+    m: ms.MapState,
+    feat_uv: jnp.ndarray,
+    feat_signs: jnp.ndarray,
+    feat_mask: jnp.ndarray,
+    feat_level: jnp.ndarray,
+    R_pred, t_pred,
+    fx, fy, cx, cy, width, height,
+    scale_factor: float = 1.2,
+    min_matches: int = 20,
+    lm_signs: Optional[jnp.ndarray] = None,
+    cap_visible: Optional[int] = None,
+):
+    """The WHOLE per-frame tracking pipeline (after extraction) as one
+    device program: search-by-projection -> widened retry -> robust pose
+    LM -> tight track-local-map re-match -> second pose LM -> accept the
+    better stage. Semantics identical to the four staged calls the System
+    used to make (`match` / widen / `pose_opt` / `track_local_map`), but
+    with every host decision expressed as `lax.cond`/`where`, so the host
+    round-trips ONCE per frame instead of four times — on a remote-TPU
+    deployment each host<->device turnaround costs ~25 ms of link latency
+    (measured; see PROFILE.json note), which dominated the orchestrated
+    System's steady-state fps.
+
+    Returns (tm, res, obs_clean, summary) where summary packs
+    [R(9), t(3), n_matches, n_inliers] into one (14,) f32 buffer — a
+    single transfer carries everything the host state machine branches on.
+    """
+    def matcher(R, t, radius):
+        return match_to_map(
+            m, feat_uv, feat_signs, feat_mask, R, t,
+            fx, fy, cx, cy, width, height, radius=radius,
+            lm_signs=lm_signs, cap_visible=cap_visible,
+        )
+
+    tm = matcher(R_pred, t_pred, 15.0)
+    # widened retry (reference doubles the window on failure) — lax.cond
+    # so the wide matmul runs only when needed
+    tm = jax.lax.cond(
+        tm.n_matches < min_matches,
+        lambda: matcher(R_pred, t_pred, 30.0),
+        lambda: tm,
+    )
+    res, obs_clean = track_pose(
+        m, tm.obs_lm, feat_uv, feat_level, R_pred, t_pred,
+        fx, fy, cx, cy, scale_factor=scale_factor,
+    )
+    # track-local-map: re-match at the optimized pose with a tight window,
+    # refine once more, keep the better stage
+    tm2 = matcher(res.R, res.t, 7.0)
+    res2, obs2 = track_pose(
+        m, tm2.obs_lm, feat_uv, feat_level, res.R, res.t,
+        fx, fy, cx, cy, scale_factor=scale_factor,
+    )
+    accept = (tm2.n_matches >= res.n_inliers) & (
+        res2.n_inliers >= res.n_inliers
+    )
+    sel = lambda a, b: jnp.where(accept, b, a)
+    tm_f = jax.tree_util.tree_map(sel, tm, tm2)
+    res_f = jax.tree_util.tree_map(sel, res, res2)
+    obs_f = jnp.where(accept, obs2, obs_clean)
+    summary = jnp.concatenate([
+        res_f.R.reshape(-1), res_f.t,
+        jnp.stack([
+            tm_f.n_matches.astype(jnp.float32),
+            res_f.n_inliers.astype(jnp.float32),
+        ]),
+    ])
+    return tm_f, res_f, obs_f, summary
+
+
 def track_pose(
     m: ms.MapState,
     obs_lm: jnp.ndarray,  # (N,) associations from match_to_map

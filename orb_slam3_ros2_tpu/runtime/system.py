@@ -289,6 +289,16 @@ class System:
             )
         )
 
+        # fused per-frame pipeline: one dispatch + one packed-summary fetch
+        # per tracked frame (see trk.track_frame)
+        self._track_frame = jax.jit(
+            functools.partial(
+                trk.track_frame, fx=fx, fy=fy, cx=cx, cy=cy,
+                width=W, height=H, scale_factor=sf,
+                min_matches=self.MIN_TRACK_INLIERS, cap_visible=cap_vis,
+            )
+        )
+
         self._triangulate = jax.jit(
             functools.partial(trk.triangulate_between, fx=fx, fy=fy, cx=cx, cy=cy)
         )
@@ -524,13 +534,13 @@ class System:
     def _preprocess(self, im: np.ndarray) -> jnp.ndarray:
         if im.ndim == 3:
             im = im.mean(axis=-1)
-        im = np.asarray(im, np.float32)
         H, W = self.cam.height, self.cam.width
         if im.shape != (H, W):
             import cv2
 
-            im = cv2.resize(im, (W, H), interpolation=cv2.INTER_AREA)
-        return jnp.asarray(im)
+            im = cv2.resize(np.asarray(im, np.float32), (W, H),
+                            interpolation=cv2.INTER_AREA)
+        return jnp.asarray(np.asarray(im, np.float32))
 
     def _extract_undistorted(self, img: jnp.ndarray):
         import dataclasses
@@ -1002,50 +1012,30 @@ class System:
         R_pred = jnp.asarray(T_pred[:3, :3])
         t_pred = jnp.asarray(T_pred[:3, 3])
 
-        with self.tracer.stage("match"):
-            tm = self._match_to_map(
-                self.map, feats.uv, feats.signs, feats.mask, R_pred, t_pred,
+        # the whole match -> widen -> pose -> track-local-map -> re-pose
+        # pipeline is ONE device dispatch (trk.track_frame) and the packed
+        # (14,) summary is ONE device->host transfer: on a remote-chip
+        # deployment every host round-trip costs link latency (~25 ms
+        # measured through this host's tunnel), and the old four-stage
+        # loop paid it four times per frame
+        with self.tracer.stage("track_frame"):
+            tm, res, obs_clean, summary = self._track_frame(
+                self.map, feats.uv, feats.signs, feats.mask, feats.level,
+                R_pred, t_pred,
             )
-            n_match = int(tm.n_matches)
-            if n_match < self.MIN_TRACK_INLIERS:
-                # widen the search once (reference doubles the window on
-                # failure)
-                tm = self._match_to_map(
-                    self.map, feats.uv, feats.signs, feats.mask, R_pred,
-                    t_pred, radius=30.0,
-                )
-                n_match = int(tm.n_matches)
+            s = np.asarray(summary)
+        n_match = int(s[12])
+        n_inl = int(s[13])
         if n_match < self.MIN_TRACK_INLIERS:
             self.state = TrackingState.LOST
             return
-
-        with self.tracer.stage("pose_opt"):
-            res, obs_clean = self._track_pose(
-                self.map, tm.obs_lm, feats.uv, feats.level, R_pred, t_pred
-            )
-            n_inl = int(res.n_inliers)
         if n_inl < self.MIN_TRACK_INLIERS:
             self.state = TrackingState.LOST
             return
 
-        # second stage (reference's TrackLocalMap): re-match at the optimized
-        # pose with a tight window, then refine once more
-        with self.tracer.stage("track_local_map"):
-            tm2 = self._match_to_map(
-                self.map, feats.uv, feats.signs, feats.mask, res.R, res.t,
-                radius=7.0,
-            )
-            if int(tm2.n_matches) >= n_inl:
-                res2, obs2 = self._track_pose(
-                    self.map, tm2.obs_lm, feats.uv, feats.level, res.R, res.t
-                )
-                if int(res2.n_inliers) >= n_inl:
-                    res, obs_clean, tm = res2, obs2, tm2
-                    n_inl = int(res2.n_inliers)
-
         self.map = self._bump(self.map, tm.lm_visible_inc, tm.lm_found_inc)
         T_prev = self.Tcw
-        T_new = self._pose44(np.asarray(res.R), np.asarray(res.t))
+        T_new = self._pose44(s[:9].reshape(3, 3), s[9:12])
         if self.last_Tcw is not None:
             self.velocity = T_new @ np.linalg.inv(self.last_Tcw)
         self.last_Tcw = T_new

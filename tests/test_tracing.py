@@ -43,5 +43,6 @@ def test_system_records_stages():
         sys_.track_monocular(images[k], float(ts[k]))
     rep = sys_.tracer.report()
     assert "extract" in rep and rep["extract"]["n"] == 8
-    # tracking ran at least once after initialization
-    assert "match" in rep and rep["match"]["n"] >= 1
+    # tracking ran at least once after initialization (the fused per-frame
+    # pipeline records as one "track_frame" stage)
+    assert "track_frame" in rep and rep["track_frame"]["n"] >= 1
