@@ -177,7 +177,7 @@ def track_frame(
     System's steady-state fps.
 
     Returns (tm, res, obs_clean, summary) where summary packs
-    [R(9), t(3), n_matches, n_inliers] into one (14,) f32 buffer — a
+    [R(9), t(3), n_matches, n_inliers, n_kf] into one (15,) f32 buffer — a
     single transfer carries everything the host state machine branches on.
     """
     def matcher(R, t, radius):
@@ -218,6 +218,7 @@ def track_frame(
         jnp.stack([
             tm_f.n_matches.astype(jnp.float32),
             res_f.n_inliers.astype(jnp.float32),
+            m.n_kf.astype(jnp.float32),  # saves the host a per-frame fetch
         ]),
     ])
     return tm_f, res_f, obs_f, summary

@@ -1026,6 +1026,7 @@ class System:
             s = np.asarray(summary)
         n_match = int(s[12])
         n_inl = int(s[13])
+        n_kf_now = int(s[14])
         if n_match < self.MIN_TRACK_INLIERS:
             self.state = TrackingState.LOST
             return
@@ -1050,13 +1051,18 @@ class System:
                 ) / dt
         self.frames_since_kf += 1
 
-        if self._need_keyframe(n_inl):
+        if self._need_keyframe(n_inl, n_kf_now):
             with self.tracer.stage("insert_kf"):
                 self._insert_keyframe(feats, obs_clean, timestamp, n_inl,
                                       stereo=stereo)
 
-    def _need_keyframe(self, n_inl: int) -> bool:
-        if int(self.map.n_kf) >= self.map_cfg.max_kf - 1:
+    def _need_keyframe(self, n_inl: int, n_kf: int = -1) -> bool:
+        # n_kf rides the track_frame summary so the steady-state loop makes
+        # no extra device fetch here (each one is a link round-trip on a
+        # remote-chip host)
+        if n_kf < 0:
+            n_kf = int(self.map.n_kf)
+        if n_kf >= self.map_cfg.max_kf - 1:
             return False
         max_gap = max(int(self.cam.fps) // 2, 5)
         if self.frames_since_kf >= max_gap:
