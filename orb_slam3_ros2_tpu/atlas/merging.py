@@ -262,12 +262,13 @@ def refine_weld_pnp(
     R0 = R_o @ cand.R.T
     t0 = s * t_o - R0 @ cand.t
     ones = np.ones((N,), np.float32)
-    # two-stage gate: the Sim3 seed can start ~10 px off (outside the
-    # standard chi2 window), so converge coarse first, then polish tight
+    # two-stage gate: the Sim3 seed can start tens of px off (far outside
+    # the standard chi2 window), so converge UNGATED (Huber only) first,
+    # then polish with the normal gate
     res1 = pose_opt.optimize_pose(
         jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(X), jnp.asarray(uv),
         jnp.asarray(ones), jnp.asarray(mask), fx, fy, cx, cy,
-        n_rounds=2, iters_per_round=6, chi2_th=400.0,
+        n_rounds=2, iters_per_round=8, chi2_th=1e9,
     )
     res2 = pose_opt.optimize_pose(
         res1.R, res1.t, jnp.asarray(X), jnp.asarray(uv),
@@ -278,6 +279,22 @@ def refine_weld_pnp(
         return cand
     R_a = np.asarray(res2.R)
     t_a = np.asarray(res2.t)
+    # re-estimate the scale from per-pair depth ratios in the refined
+    # camera frame: the same physical point has camera coords x_c* (from
+    # the active 3D position under the PnP pose) and x_c_o (from the old
+    # map's 3D position under the old pose), related by x_c* = s x_c_o.
+    # The robust median depth ratio replaces the 3D-3D Umeyama scale,
+    # which inherits any systematic triangulation depth bias.
+    inl = np.asarray(res2.inliers) & mask
+    if inl.sum() >= 12:
+        Xo = np.asarray(old.lm_X)
+        z_a = X[inl] @ R_a.T[:, 2] + t_a[2]
+        obs_inl = obs[inl]
+        z_o = Xo[obs_inl] @ R_o.T[:, 2] + t_o[2]
+        ok = (z_o > 0.1) & (z_a > 0.1)
+        if ok.sum() >= 12:
+            s = float(np.median(z_a[ok] / z_o[ok]))
     R_new = R_a.T @ R_o
     t_new = R_a.T @ (s * t_o - t_a)
-    return cand._replace(R=R_new, t=t_new, n_inliers=int(res2.n_inliers))
+    return cand._replace(R=R_new, t=t_new, s=s,
+                         n_inliers=int(res2.n_inliers))
