@@ -212,6 +212,11 @@ def merge_maps(
         np.int32,
     )
     merged = ms.MapState(**{k: jnp.asarray(v) for k, v in A.items()})
+    # lm_n_obs accumulated above counts observations held by old keyframes
+    # that were dropped for capacity; recount exactly from the surviving
+    # association table so observation-count culling/priority heuristics see
+    # the true association counts.
+    merged = ms.recount_observations(merged)
     return merged, kept_kf, n_kf_a
 
 
@@ -296,5 +301,14 @@ def refine_weld_pnp(
             s = float(np.median(z_a[ok] / z_o[ok]))
     R_new = R_a.T @ R_o
     t_new = R_a.T @ (s * t_o - t_a)
+    # Only reprojection-verified duplicates may become landmark aliases: a
+    # wrong alias permanently merges two landmark identities in merge_maps
+    # (down-weighting in BA cannot undo it), so pairs the robust PnP itself
+    # rejected are filtered out of lm_pairs here.
+    kept_lb = {int(obs[j]) for j in np.where(inl)[0]}
+    pairs = np.asarray(
+        [(la, lb) for la, lb in cand.lm_pairs if int(lb) in kept_lb],
+        np.int32,
+    ).reshape(-1, 2)
     return cand._replace(R=R_new, t=t_new, s=s,
-                         n_inliers=int(res2.n_inliers))
+                         n_inliers=int(res2.n_inliers), lm_pairs=pairs)

@@ -8,18 +8,15 @@ progress through `GetInertialBA1/2`,
 
 TPU-native design (SURVEY.md §7): the problem is a fixed-capacity dense
 masked block — K poses × L landmarks with an observation mask — instead of a
-pointer graph. One LM iteration is a chain of einsum contractions:
-
-    Hcc (K,6,6), Hll (L,3,3), W (K,L,6,3), bc, bl
-    S = Hcc − W Hll⁻¹ Wᵀ            (K,K,6,6 — the reduced camera system)
-    S dxc = −(bc − W Hll⁻¹ bl)      (one dense 6K×6K solve)
-    dxl = −Hll⁻¹ (bl + Wᵀ dxc)      (batched 3×3 back-substitution)
-
-Every step is matmul-shaped (MXU) or batched tiny-linalg; landmark
-elimination is exact. Gauge freedom is fixed by a large diagonal prior on
-`fixed_mask` poses (the reference fixes its anchor keyframes the same way,
-by marking vertices fixed). The same function distributes over a device mesh
-by sharding K — see parallel/sharded_ba.py.
+pointer graph. One LM iteration runs through the MXU-shaped elimination
+core (`backend/schur.py`): per-landmark 3×3 Cholesky in closed form, the
+whitened cross term `V = W·L⁻ᵀ` built once elementwise, and the reduced
+camera system formed as ONE (6K, 3L) @ (3L, 6K) matmul — followed by a
+dense 6K×6K solve and two matvecs for the landmark back-substitution.
+Landmark elimination is exact. Gauge freedom is fixed by a large diagonal
+prior on `fixed_mask` poses (the reference fixes its anchor keyframes the
+same way, by marking vertices fixed). The same core distributes over a
+device mesh by sharding L — see parallel/sharded_ba.py.
 """
 
 from __future__ import annotations
@@ -31,8 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam3_ros2_tpu.backend import residuals as res
+from orb_slam3_ros2_tpu.backend import schur
 from orb_slam3_ros2_tpu.geom import lie
-from orb_slam3_ros2_tpu.ops import chol_small
 
 # math.sqrt, NOT jnp: a module-level device computation would force a
 # device->host readback at import time, which flips the remote-relay TPU
@@ -88,43 +85,18 @@ def _cost_only(p: BAProblem, fx, fy, cx, cy, w_active, R, t, X):
 
 
 def ba_iteration(p: BAProblem, fx, fy, cx, cy, w_active, lam):
-    """One damped GN (LM) step; returns proposed (R, t, X)."""
-    proj, ww, _ = _robust_terms(p, fx, fy, cx, cy, w_active)
-    Jc, Jx, r = proj.J_pose, proj.J_point, proj.r  # (K,L,2,6) (K,L,2,3) (K,L,2)
+    """One damped GN (LM) step; returns proposed (R, t, X).
 
-    Hcc = jnp.einsum("klai,kl,klaj->kij", Jc, ww, Jc)  # (K,6,6)
-    Hll = jnp.einsum("klai,kl,klaj->lij", Jx, ww, Jx)  # (L,3,3)
-    W = jnp.einsum("klai,kl,klaj->klij", Jc, ww, Jx)  # (K,L,6,3)
-    bc = jnp.einsum("klai,kl,kla->ki", Jc, ww, r)  # (K,6)
-    bl = jnp.einsum("klai,kl,kla->li", Jx, ww, r)  # (L,3)
-
-    # damping + gauge prior + landmark regularization
-    K = Hcc.shape[0]
-    L = Hll.shape[0]
-    eye6 = jnp.eye(6)
-    eye3 = jnp.eye(3)
-    fixed_prior = jnp.where(p.fixed, FIXED_PRIOR, 0.0)
-    Hcc = Hcc + (lam * jnp.abs(jnp.einsum("kii->ki", Hcc))[:, :, None] * eye6) \
-        + (fixed_prior[:, None, None] + 1e-9) * eye6
-    Hll = Hll + lam * jnp.abs(jnp.einsum("lii->li", Hll))[:, :, None] * eye3 \
-        + 1e-8 * eye3
-
-    Hll_inv = chol_small.inv3x3_spd(Hll)  # closed form — no LU custom call
-
-    # Schur complement of the landmark block
-    WHinv = jnp.einsum("klab,lbc->klac", W, Hll_inv)  # (K,L,6,3)
-    S_off = jnp.einsum("klac,mldc->kmad", WHinv, W)  # (K,K,6,6)
-    S = -S_off
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
-    rhs = bc - jnp.einsum("klac,lc->ka", WHinv, bl)  # (K,6)
-
-    S_flat = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-    dxc = -jnp.linalg.solve(S_flat, rhs.reshape(-1)).reshape(K, 6)
-
-    dxl = -jnp.einsum(
-        "lab,lb->la", Hll_inv, bl + jnp.einsum("klab,ka->lb", W, dxc)
+    The landmark elimination runs through the MXU-shaped core
+    (`backend/schur.py`): one (6K, 3L) @ (3L, 6K) matmul forms the reduced
+    camera system instead of small-block einsums (r3 profile: 0.7% SoL)."""
+    terms = schur.schur_reduce(
+        p.R, p.t, p.X, p.uv, w_active, fx, fy, cx, cy, lam
     )
-    dxl = dxl * p.point_valid[:, None]
+    dxc = schur.solve_cameras(
+        terms.Hcc_p, terms.S_off, terms.rhs_p, p.fixed, lam, FIXED_PRIOR
+    )
+    dxl = schur.back_substitute(terms, dxc, p.point_valid)
 
     R_new, t_new = lie.se3_retract(p.R, p.t, dxc)
     R_new = lie.se3_normalize(R_new)
@@ -152,25 +124,31 @@ def bundle_adjust(
 
     def step(carry, it):
         R, t, X, lam, w_active = carry
-        q = p._replace(R=R, t=t, X=X)
 
         # periodic chi² re-classification — never before the first iteration
         # (optimize on all observations first, then gate, like the reference)
-        def refresh(w_act):
-            proj = res.reproj_residual(
-                R[:, None], t[:, None], X[None, :], p.uv, fx, fy, cx, cy
-            )
-            chi2 = jnp.sum(proj.r**2, axis=-1) * w_base
-            keep = (chi2 <= chi2_th) & (proj.depth > 0.05) & (w_base > 0)
-            return w_base * keep
         w_active = jax.lax.cond(
-            (it > 0) & ((it % reclassify_every) == 0), refresh, lambda w: w,
-            w_active,
+            (it > 0) & ((it % reclassify_every) == 0),
+            lambda: schur.refresh_weights(R, t, X, p.uv, w_base,
+                                          fx, fy, cx, cy, chi2_th),
+            lambda: w_active,
         )
 
-        _, _, cost0 = _robust_terms(q, fx, fy, cx, cy, w_active)
-        R_new, t_new, X_new = ba_iteration(q, fx, fy, cx, cy, w_active, lam)
-        cost1 = _cost_only(q, fx, fy, cx, cy, w_active, R_new, t_new, X_new)
+        # one linearization per iteration: schur_reduce returns the robust
+        # cost at the linearization point alongside the reduced system
+        terms = schur.schur_reduce(
+            R, t, X, p.uv, w_active, fx, fy, cx, cy, lam
+        )
+        dxc = schur.solve_cameras(
+            terms.Hcc_p, terms.S_off, terms.rhs_p, p.fixed, lam, FIXED_PRIOR
+        )
+        dxl = schur.back_substitute(terms, dxc, p.point_valid)
+        R_new, t_new = lie.se3_retract(R, t, dxc)
+        R_new = lie.se3_normalize(R_new)
+        X_new = X + dxl
+        cost0 = terms.cost0
+        cost1 = schur.robust_cost(R_new, t_new, X_new, p.uv, w_active,
+                                  fx, fy, cx, cy)
         better = cost1 < cost0
         R = jnp.where(better, R_new, R)
         t = jnp.where(better, t_new, t)
@@ -182,6 +160,5 @@ def bundle_adjust(
         step, (p.R, p.t, p.X, jnp.asarray(1e-4, jnp.float32), w_base),
         jnp.arange(n_iters),
     )
-    q = p._replace(R=R, t=t, X=X)
-    _, _, cost = _robust_terms(q, fx, fy, cx, cy, w_active)
+    cost = schur.robust_cost(R, t, X, p.uv, w_active, fx, fy, cx, cy)
     return BAResult(R=R, t=t, X=X, cost=cost, inlier_w=w_active)

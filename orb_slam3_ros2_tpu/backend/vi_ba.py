@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from orb_slam3_ros2_tpu.backend import ba as ba_mod
 from orb_slam3_ros2_tpu.backend import residuals as res
+from orb_slam3_ros2_tpu.backend import schur
 from orb_slam3_ros2_tpu.geom import lie
 from orb_slam3_ros2_tpu.imu import preintegration as pre_mod
 from orb_slam3_ros2_tpu.ops import chol_small
@@ -156,31 +157,16 @@ def vi_bundle_adjust(
     def step(carry, _):
         R, t, X, v, bg, ba, thg, lam = carry
 
-        # ----- visual part (identical structure to ba.ba_iteration) -----
-        q = p._replace(R=R, t=t, X=X)
-        proj, ww, vis_cost = ba_mod._robust_terms(q, fx, fy, cx, cy, p.w)
-        Jc, Jx, r_v = proj.J_pose, proj.J_point, proj.r
-        Hcc = jnp.einsum("klai,kl,klaj->kij", Jc, ww, Jc)
-        Hll = jnp.einsum("klai,kl,klaj->lij", Jx, ww, Jx)
-        Wcl = jnp.einsum("klai,kl,klaj->klij", Jc, ww, Jx)
-        bc = jnp.einsum("klai,kl,kla->ki", Jc, ww, r_v)
-        bl = jnp.einsum("klai,kl,kla->li", Jx, ww, r_v)
-
-        eye3 = jnp.eye(3)
-        Hll = Hll + lam * jnp.abs(jnp.einsum("lii->li", Hll))[:, :, None] \
-            * eye3 + 1e-8 * eye3
-        Hll_inv = chol_small.inv3x3_spd(Hll)  # closed form — no LU call
-        WHinv = jnp.einsum("klab,lbc->klac", Wcl, Hll_inv)
-        S_pose = -jnp.einsum("klac,mldc->kmad", WHinv, Wcl)
-        S_pose = S_pose.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
-        rhs_pose = bc - jnp.einsum("klac,lc->ka", WHinv, bl)
+        # ----- visual part: MXU-shaped Schur elimination (backend/schur) --
+        terms = schur.schur_reduce(R, t, X, p.uv, p.w, fx, fy, cx, cy, lam)
+        S_pose_flat = -terms.S_off + jnp.einsum(
+            "km,kij->kimj", jnp.eye(K), terms.Hcc_p
+        ).reshape(6 * K, 6 * K)
 
         H = jnp.zeros((D, D))
         b = jnp.zeros((D,))
-        H = H.at[: 6 * K, : 6 * K].set(
-            S_pose.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-        )
-        b = b.at[: 6 * K].set(rhs_pose.reshape(-1))
+        H = H.at[: 6 * K, : 6 * K].set(S_pose_flat)
+        b = b.at[: 6 * K].set(terms.rhs_p.reshape(-1))
 
         # ----- inertial part -----
         r_i, J_i = _inertial_terms(pres, R, t, v, bg, ba, thg, Wmats,
@@ -227,9 +213,7 @@ def vi_bundle_adjust(
         dba = dx[9 * K + 3:9 * K + 6]
         dthg = dx[9 * K + 6:]
 
-        dxl = -jnp.einsum(
-            "lab,lb->la", Hll_inv, bl + jnp.einsum("klab,ka->lb", Wcl, dxc)
-        ) * p.point_valid[:, None]
+        dxl = schur.back_substitute(terms, dxc, p.point_valid)
 
         R_new, t_new = lie.se3_retract(R, t, dxc)
         R_new = lie.se3_normalize(R_new)
@@ -241,8 +225,7 @@ def vi_bundle_adjust(
 
         # accept/reject on total cost
         def total_cost(Rr, tt, XX, vv, bgg, baa, tg):
-            qq = p._replace(R=Rr, t=tt, X=XX)
-            _, _, c_vis = ba_mod._robust_terms(qq, fx, fy, cx, cy, p.w)
+            c_vis = schur.robust_cost(Rr, tt, XX, p.uv, p.w, fx, fy, cx, cy)
             rr, _ = _inertial_terms(pres, Rr, tt, vv, bgg, baa, tg, Wmats,
                                     R_bc, t_bc, n_intervals=n_inertial)
             return (c_vis + jnp.sum(rr * rr)

@@ -206,8 +206,16 @@ def track_frame(
         m, tm2.obs_lm, feat_uv, feat_level, res.R, res.t,
         fx, fy, cx, cy, scale_factor=scale_factor,
     )
-    accept = (tm2.n_matches >= res.n_inliers) & (
-        res2.n_inliers >= res.n_inliers
+    # Stage-2 results are only eligible when stage 1 itself tracked: the
+    # staged host loop declared LOST when the first pose opt fell below
+    # min_matches WITHOUT running track-local-map, so a sub-threshold
+    # stage-1 solve must surface as-is (the host sees n_inliers < threshold
+    # and relocalizes) rather than be rescued by tight-window re-matching
+    # at a garbage pose, where aliased matches can gate as inliers.
+    accept = (
+        (res.n_inliers >= min_matches)
+        & (tm2.n_matches >= res.n_inliers)
+        & (res2.n_inliers >= res.n_inliers)
     )
     sel = lambda a, b: jnp.where(accept, b, a)
     tm_f = jax.tree_util.tree_map(sel, tm, tm2)

@@ -125,16 +125,30 @@ def weld_peer(active, peer, cfg, seed: int, top_pairs: int = 5,
     return active, False
 
 
-def merge_gathered(maps, cfg, seed: int = 0, intrinsics=None):
+def merge_gathered(maps, cfg, seed: int = 0, intrinsics=None,
+                   unwelded: list | None = None):
     """Deterministically weld maps[1:] into maps[0]. Every process runs
     this on identical gathered data -> identical merged map everywhere,
-    with no extra coordination round. Returns (merged, n_welded)."""
+    with no extra coordination round. Returns (merged, n_welded).
+
+    A peer whose weld fails verification is NOT silently discarded: its
+    (process_index, map) is appended to `unwelded` (when provided) so the
+    caller can retain it in the Atlas as a separate map for a later weld
+    attempt, and a warning is printed either way.
+    """
     merged = maps[0]
     n = 0
     for p, peer in enumerate(maps[1:], start=1):
         merged, ok = weld_peer(merged, peer, cfg, seed=seed + 1000 * p,
                                intrinsics=intrinsics)
-        n += int(ok)
+        if ok:
+            n += 1
+        else:
+            print(f"[distributed_session] WARNING: peer map from process "
+                  f"{p} failed Sim3 weld verification; retained as a "
+                  f"separate (unmerged) map", flush=True)
+            if unwelded is not None:
+                unwelded.append((p, peer))
     return merged, n
 
 
@@ -202,8 +216,10 @@ def run_worker(process_id: int, num_processes: int, coordinator: str,
 
     # ---- 3. deterministic weld (identical on every process) ----
     cam = sys_.cam
+    unwelded: list = []
     merged, n_welded = merge_gathered(
-        maps, cfg, seed=7, intrinsics=(cam.fx, cam.fy, cam.cx, cam.cy))
+        maps, cfg, seed=7, intrinsics=(cam.fx, cam.fy, cam.cx, cam.cy),
+        unwelded=unwelded)
 
     # ---- 4. global distributed GBA over ALL hosts' devices ----
     mesh = mesh_mod.make_mesh(len(jax.devices()))
@@ -231,6 +247,7 @@ def run_worker(process_id: int, num_processes: int, coordinator: str,
         "n_kf_local": n_kf_local,
         "n_kf_merged": int(merged.n_kf),
         "n_maps_welded": n_welded + 1,
+        "unwelded_processes": [p for p, _ in unwelded],
         "kf_ate_merged_m": round(kf_ate_merged, 4),
         "kf_ate_refined_m": round(kf_ate, 4),
         "track_wall_s": round(track_wall, 2),

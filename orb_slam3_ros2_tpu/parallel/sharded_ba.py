@@ -29,8 +29,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from orb_slam3_ros2_tpu.backend import ba as ba_mod
 from orb_slam3_ros2_tpu.backend import residuals as res
+from orb_slam3_ros2_tpu.backend import schur
 from orb_slam3_ros2_tpu.geom import lie
-from orb_slam3_ros2_tpu.ops import chol_small
 from orb_slam3_ros2_tpu.parallel import mesh as mesh_mod
 
 HUBER = ba_mod.HUBER
@@ -57,52 +57,31 @@ def _local_terms(R, t, X, uv, w_active, fx, fy, cx, cy):
 
 
 def _shard_step(R, t, X, uv, w, fixed, point_valid, lam, fx, fy, cx, cy):
-    """One damped GN step, executed per landmark shard under shard_map."""
-    proj, ww, cost0 = _local_terms(R, t, X, uv, w, fx, fy, cx, cy)
-    Jc, Jx, r = proj.J_pose, proj.J_point, proj.r
+    """One damped GN step, executed per landmark shard under shard_map.
 
-    Hcc_p = jnp.einsum("klai,kl,klaj->kij", Jc, ww, Jc)
-    Hll = jnp.einsum("klai,kl,klaj->lij", Jx, ww, Jx)  # local landmarks only
-    W = jnp.einsum("klai,kl,klaj->klij", Jc, ww, Jx)
-    bc_p = jnp.einsum("klai,kl,kla->ki", Jc, ww, r)
-    bl = jnp.einsum("klai,kl,kla->li", Jx, ww, r)
-
-    K = Hcc_p.shape[0]
-    eye3 = jnp.eye(3)
-    Hll = Hll + lam * jnp.abs(jnp.einsum("lii->li", Hll))[:, :, None] * eye3 \
-        + 1e-8 * eye3
-    Hll_inv = chol_small.inv3x3_spd(Hll)  # closed form — no LU custom call
-
-    WHinv = jnp.einsum("klab,lbc->klac", W, Hll_inv)
-    S_off_p = jnp.einsum("klac,mldc->kmad", WHinv, W)
-    rhs_p = bc_p - jnp.einsum("klac,lc->ka", WHinv, bl)
+    Uses the same MXU-shaped elimination core as the single-chip solver
+    (`backend/schur.py`): the shard-local reduced system is one
+    (6K, 3·L/n) @ (3·L/n, 6K) matmul; only (Hcc_p, S_off, rhs_p, cost)
+    cross the mesh — O(K²·36) bytes, independent of landmark count."""
+    terms = schur.schur_reduce(R, t, X, uv, w, fx, fy, cx, cy, lam)
 
     # --- the only cross-device communication in the iteration ---
-    Hcc = jax.lax.psum(Hcc_p, mesh_mod.LM_AXIS)
-    S_off = jax.lax.psum(S_off_p, mesh_mod.LM_AXIS)
-    rhs = jax.lax.psum(rhs_p, mesh_mod.LM_AXIS)
-    cost0 = jax.lax.psum(cost0, mesh_mod.LM_AXIS)
+    Hcc = jax.lax.psum(terms.Hcc_p, mesh_mod.LM_AXIS)
+    S_off = jax.lax.psum(terms.S_off, mesh_mod.LM_AXIS)
+    rhs = jax.lax.psum(terms.rhs_p, mesh_mod.LM_AXIS)
+    cost0 = jax.lax.psum(terms.cost0, mesh_mod.LM_AXIS)
 
-    eye6 = jnp.eye(6)
-    fixed_prior = jnp.where(fixed, FIXED_PRIOR, 0.0)
-    Hcc = Hcc + lam * jnp.abs(jnp.einsum("kii->ki", Hcc))[:, :, None] * eye6 \
-        + (fixed_prior[:, None, None] + 1e-9) * eye6
-
-    S = -S_off
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc)
-    S_flat = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-    dxc = -jnp.linalg.solve(S_flat, rhs.reshape(-1)).reshape(K, 6)
-
-    dxl = -jnp.einsum(
-        "lab,lb->la", Hll_inv, bl + jnp.einsum("klab,ka->lb", W, dxc)
-    ) * point_valid[:, None]
+    dxc = schur.solve_cameras(Hcc, S_off, rhs, fixed, lam, FIXED_PRIOR)
+    dxl = schur.back_substitute(terms, dxc, point_valid)
 
     R_new, t_new = lie.se3_retract(R, t, dxc)
     R_new = lie.se3_normalize(R_new)
     X_new = X + dxl
 
-    _, _, cost1 = _local_terms(R_new, t_new, X_new, uv, w, fx, fy, cx, cy)
-    cost1 = jax.lax.psum(cost1, mesh_mod.LM_AXIS)
+    cost1 = jax.lax.psum(
+        schur.robust_cost(R_new, t_new, X_new, uv, w, fx, fy, cx, cy),
+        mesh_mod.LM_AXIS,
+    )
     better = cost1 < cost0
     R = jnp.where(better, R_new, R)
     t = jnp.where(better, t_new, t)
@@ -138,13 +117,8 @@ def make_sharded_ba(mesh, fx, fy, cx, cy, n_iters: int = 10):
         # an Atlas weld) keep a constant Huber pull forever and bias the
         # converged poses.
         def refresh(R, t, X):
-            proj = res.reproj_residual(
-                R[:, None], t[:, None], X[None, :], uv, fx, fy, cx, cy
-            )
-            chi2 = jnp.sum(proj.r**2, axis=-1) * w
-            keep = ((chi2 <= res.CHI2_MONO)
-                    & (proj.depth > 0.05) & (w > 0))
-            return w * keep
+            return schur.refresh_weights(R, t, X, uv, w, fx, fy, cx, cy,
+                                         res.CHI2_MONO)
 
         def body(carry, it):
             R, t, X, lam, w_act = carry

@@ -1014,7 +1014,8 @@ class System:
 
         # the whole match -> widen -> pose -> track-local-map -> re-pose
         # pipeline is ONE device dispatch (trk.track_frame) and the packed
-        # (14,) summary is ONE device->host transfer: on a remote-chip
+        # (15,) summary [R(9), t(3), n_matches, n_inliers, n_kf — layout in
+        # trk.track_frame] is ONE device->host transfer: on a remote-chip
         # deployment every host round-trip costs link latency (~25 ms
         # measured through this host's tunnel), and the old four-stage
         # loop paid it four times per frame

@@ -56,6 +56,11 @@ def staged(m, feats, R0, t0):
     res, obs_clean = trk.track_pose(m, tm.obs_lm, feats.uv, feats.level,
                                     R0, t0, FX, FY, CX, CY)
     n_inl = int(res.n_inliers)
+    if n_inl < MIN_MATCHES:
+        # staged System declared LOST here and went to relocalization
+        # WITHOUT running track-local-map — the sub-threshold stage-1
+        # result surfaces as-is
+        return tm, res, obs_clean
     tm2 = trk.match_to_map(m, feats.uv, feats.signs, feats.mask,
                            res.R, res.t, radius=7.0, **kw)
     if int(tm2.n_matches) >= n_inl:
@@ -92,6 +97,37 @@ def test_fused_matches_staged(setup, perturb):
     assert int(s[12]) == int(tm_f.n_matches)
     assert int(s[13]) == int(res_f.n_inliers)
     assert int(s[14]) == int(m.n_kf)
+
+
+def test_lost_boundary_stage1_threshold(setup):
+    """ADVICE r3 (medium): when stage-1 pose opt falls below min_matches the
+    fused path must surface the stage-1 result unchanged (so the host
+    declares LOST and relocalizes), never a stage-2 'rescue' re-matched at
+    the sub-threshold pose."""
+    m, feats = setup
+    R0 = jnp.eye(3)
+    t0 = jnp.zeros(3)
+    kw = dict(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
+    # a threshold no frame can meet: stage 1 always fails, the widen retry
+    # always fires, so the fused stage-1 reference is the WIDE match + pose
+    big = 10 ** 6
+    tm_w = trk.match_to_map(m, feats.uv, feats.signs, feats.mask, R0, t0,
+                            radius=30.0, **kw)
+    res1, obs1 = trk.track_pose(m, tm_w.obs_lm, feats.uv, feats.level,
+                                R0, t0, FX, FY, CX, CY)
+    tm_f, res_f, obs_f, s = trk.track_frame(
+        m, feats.uv, feats.signs, feats.mask, feats.level, R0, t0,
+        FX, FY, CX, CY, W, H, min_matches=big,
+    )
+    # stage 2 would typically match at least as many inliers here — it must
+    # NOT be accepted because stage 1 is below threshold
+    assert int(res_f.n_inliers) == int(res1.n_inliers)
+    assert int(s[13]) == int(res1.n_inliers)
+    np.testing.assert_allclose(np.asarray(res_f.R), np.asarray(res1.R),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_f.t), np.asarray(res1.t),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs1))
 
 
 def test_widen_retry_fires_when_narrow_fails(setup):
