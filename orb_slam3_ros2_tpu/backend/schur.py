@@ -79,28 +79,52 @@ def robust_weights(proj, w_active):
     return ww, cost
 
 
+_CHOL_PIVOT_FLOOR = 1e-6  # min normalized pivot (modified Cholesky)
+
+
 def _chol3_invT_planes(haa, hab, hac, hbb, hbc, hcc):
     """Closed-form M = L^{-T} for SPD 3x3 given as 6 (L,) lane planes.
 
     Returns 6 planes (m00, m01, m02, m11, m12, m22) of the UPPER-triangular
-    M with H^{-1} = M M^T. ~30 fused lane ops — no LU/Cholesky custom call.
+    M with H^{-1} ≈ M M^T. ~40 fused lane ops — no LU/Cholesky custom call.
+
+    Numerically a MODIFIED Cholesky in f32: the matrix is Jacobi-normalized
+    to unit diagonal first, and the normalized pivots are floored at
+    _CHOL_PIVOT_FLOOR. Rank-deficient landmark Hessians (a single
+    observation gives rank <= 2; the caller's damping adds only ~1e-8
+    absolute) make the raw pivot `hcc - l20^2 - l21^2` a catastrophic f32
+    cancellation (~1e4 - ~1e4 with true value ~1e-8): an unfloored factor
+    then explodes M to ~1e15 and landmark updates to ~1e20 (observed as a
+    14% e2e RGBD scale error before this guard). The floor acts as extra
+    damping ONLY along the unobserved directions — well-conditioned
+    directions are untouched.
     """
-    l00 = jnp.sqrt(jnp.maximum(haa, 1e-30))
-    il00 = 1.0 / l00
-    l10 = hab * il00
-    l20 = hac * il00
-    l11 = jnp.sqrt(jnp.maximum(hbb - l10 * l10, 1e-30))
+    import jax
+
+    d0 = jax.lax.rsqrt(jnp.maximum(haa, 1e-30))
+    d1 = jax.lax.rsqrt(jnp.maximum(hbb, 1e-30))
+    d2 = jax.lax.rsqrt(jnp.maximum(hcc, 1e-30))
+    # normalized (correlation-form) off-diagonals, |.| <= 1 for true PSD
+    ab = hab * d0 * d1
+    ac = hac * d0 * d2
+    bc = hbc * d1 * d2
+    eps = _CHOL_PIVOT_FLOOR
+    # Cholesky of the unit-diagonal matrix: l00 = 1
+    l10 = ab
+    l20 = ac
+    l11 = jnp.sqrt(jnp.maximum(1.0 - l10 * l10, eps))
     il11 = 1.0 / l11
-    l21 = (hbc - l20 * l10) * il11
-    l22 = jnp.sqrt(jnp.maximum(hcc - l20 * l20 - l21 * l21, 1e-30))
+    # exact arithmetic keeps |l21| <= 1; clip the junk a floored pivot can
+    # produce so the inverse stays bounded
+    l21 = jnp.clip((bc - l20 * l10) * il11, -2.0, 2.0)
+    l22 = jnp.sqrt(jnp.maximum(1.0 - l20 * l20 - l21 * l21, eps))
     il22 = 1.0 / l22
-    # L^{-1} lower-tri entries
-    i10 = -l10 * il00 * il11
+    # inverse of the unit-diagonal factor (lower), with l00 = 1
+    i10 = -l10 * il11
     i21 = -l21 * il11 * il22
-    i20 = (l10 * l21 - l20 * l11) * (il00 * il11 * il22)
-    # M = (L^{-1})^T upper-tri: m00=i00, m01=i10, m02=i20, m11=i11,
-    # m12=i21, m22=i22
-    return il00, i10, i20, il11, i21, il22
+    i20 = (l10 * l21 - l20 * l11) * (il11 * il22)
+    # H^{-1} = D M~ M~^T D with M~ = L~^{-T}: row b of M scales by d_b
+    return (d0, d0 * i10, d0 * i20, d1 * il11, d1 * i21, d2 * il22)
 
 
 def project_planes(R, t, X, uv, fx, fy, cx, cy):

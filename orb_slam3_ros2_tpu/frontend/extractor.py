@@ -166,29 +166,25 @@ def make_extractor(cfg: ExtractorConfig):
 
     def extract(img: jnp.ndarray) -> Features:
         levels = pyr_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
-        uv_all, lvl_all, ang_all, sc_all, patch_all, mask_all = (
-            [], [], [], [], [], []
+        # packed-pyramid frontend: every level's FAST+NMS+blur in ONE
+        # Pallas launch over one stacked canvas (the 8 per-level launches
+        # were ~half the extraction stage in fixed kernel-call cost), and
+        # the aligned raw/blur canvases let the patch gather below run
+        # once over ALL levels' keypoints
+        score_c, keep_c, blur_c, raw_c, layout = pk.frontend_pass_packed(
+            levels
         )
-        for lvl, (im_l, budget) in enumerate(zip(levels, budgets)):
+        uv_all, lvl_all, sc_all, yx_all, mask_all = [], [], [], [], []
+        for lvl, ((r0, h, w), budget) in enumerate(zip(layout, budgets)):
             if budget <= 0:
                 continue
-            # fused band pass: FAST score + NMS + blur in one Pallas kernel
-            # (single HBM read of the level image)
-            score, keep, blurred = pk.frontend_pass_lite(im_l)
+            score = jax.lax.slice(score_c, (r0, 0), (r0 + h, w))
+            keep = jax.lax.slice(keep_c, (r0, 0), (r0 + h, w))
             yx, sc, valid, subpix = _level_grid_select(
                 score, keep, cfg.ini_th_fast, cfg.min_th_fast, budget
             )
             # clamp coords (invalid entries may sit at the border)
-            h, w = im_l.shape
             yx = jnp.clip(yx, EDGE, jnp.asarray([h - EDGE - 1, w - EDGE - 1]))
-            # raw patches for IC orientation + blurred patches for BRIEF in
-            # one shared gather; per-keypoint disc moments are ~100x fewer
-            # ops than full-image moment maps in the fused kernel were
-            patches_raw, patches_desc = desc_ops.gather_patches_multi(
-                (im_l, blurred), yx
-            )
-            ang = desc_ops.orientations(patches_raw)
-
             s = scales[lvl]
             uv = jnp.stack(
                 [(yx[:, 1].astype(jnp.float32) + subpix[:, 1]) * s,
@@ -197,16 +193,19 @@ def make_extractor(cfg: ExtractorConfig):
             )
             uv_all.append(uv)
             lvl_all.append(jnp.full((budget,), lvl, dtype=jnp.int32))
-            ang_all.append(ang)
             sc_all.append(sc)
-            patch_all.append(patches_desc)
+            yx_all.append(yx + jnp.asarray([r0, 0], jnp.int32))
             mask_all.append(valid)
 
-        # one describe call over all levels: the angle-binned BRIEF weight
-        # matrix is read from HBM once per frame instead of once per level
-        angle = jnp.concatenate(ang_all, axis=0)
-        patches = jnp.concatenate(patch_all, axis=0)
-        signs, bits = desc_ops.describe(patches, angle)
+        # one gather + one orientation + one describe call over all levels:
+        # raw patches give IC orientation, blurred patches feed BRIEF, and
+        # the angle-binned BRIEF weight matrix is read from HBM once
+        yx_packed = jnp.concatenate(yx_all, axis=0)
+        patches_raw, patches_desc = desc_ops.gather_patches_multi(
+            (raw_c, blur_c), yx_packed
+        )
+        angle = desc_ops.orientations(patches_raw)
+        signs, bits = desc_ops.describe(patches_desc, angle)
 
         return Features(
             uv=jnp.concatenate(uv_all, axis=0),

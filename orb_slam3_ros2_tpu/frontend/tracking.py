@@ -162,6 +162,7 @@ def track_frame(
     fx, fy, cx, cy, width, height,
     scale_factor: float = 1.2,
     min_matches: int = 20,
+    min_stage1: int = 10,
     lm_signs: Optional[jnp.ndarray] = None,
     cap_visible: Optional[int] = None,
 ):
@@ -206,14 +207,16 @@ def track_frame(
         m, tm2.obs_lm, feat_uv, feat_level, res.R, res.t,
         fx, fy, cx, cy, scale_factor=scale_factor,
     )
-    # Stage-2 results are only eligible when stage 1 itself tracked: the
-    # staged host loop declared LOST when the first pose opt fell below
-    # min_matches WITHOUT running track-local-map, so a sub-threshold
-    # stage-1 solve must surface as-is (the host sees n_inliers < threshold
-    # and relocalizes) rather than be rescued by tight-window re-matching
-    # at a garbage pose, where aliased matches can gate as inliers.
+    # Two-threshold gate (upstream Tracking semantics: initial pose
+    # estimation must clear a LOW bar — TrackWithMotionModel's ~10 inliers
+    # — before TrackLocalMap runs; the HIGH bar is applied by the host on
+    # the final result). Stage 2 may therefore rescue a marginal stage-1
+    # solve (few but correct inliers -> tight re-match finds many more),
+    # but a stage-1 solve below the low bar is a garbage pose whose
+    # tight-window matches can alias as inliers — it surfaces as-is so the
+    # host declares LOST and relocalizes (r3 advisor finding).
     accept = (
-        (res.n_inliers >= min_matches)
+        (res.n_inliers >= min_stage1)
         & (tm2.n_matches >= res.n_inliers)
         & (res2.n_inliers >= res.n_inliers)
     )

@@ -97,8 +97,15 @@ def save_dbow2_text(path: str, anchors_pm: np.ndarray,
     return path
 
 
-def load_vocabulary_any(path: str) -> np.ndarray:
-    """Dispatch on vocabulary file type: DBoW2 `.txt` or our `.npz`."""
+def load_vocabulary_any(path: str):
+    """Dispatch on vocabulary file type: DBoW2 `.txt`, our flat `.npz`,
+    or our hierarchical `.npz` (returns a `hvocab.HierVocab` — the System
+    then assigns words by tree walk, the scalable path for ≥10⁴ words)."""
     if path.endswith(".txt"):
         return load_dbow2_text(path)
+    probe = np.load(path if path.endswith(".npz") else path + ".npz")
+    if "k" in probe and "depth" in probe:
+        from orb_slam3_ros2_tpu.loop import hvocab as hv
+
+        return hv.load_hvocab(path)
     return vocab_mod.load_vocabulary(path)

@@ -37,6 +37,7 @@ def _anchors_np(n_words: int = N_WORDS, seed: int = 7) -> np.ndarray:
 
 
 _ACTIVE_ANCHORS: np.ndarray | None = None  # set via set_vocabulary
+_ACTIVE_TREE = None  # hvocab.HierVocab when a hierarchical vocab is active
 
 
 def anchors() -> jnp.ndarray:
@@ -45,20 +46,42 @@ def anchors() -> jnp.ndarray:
     return jnp.asarray(_anchors_np())
 
 
-def set_vocabulary(anchors_pm: np.ndarray) -> None:
+def n_words() -> int:
+    """Active vocabulary size (the default codebook's N_WORDS, a custom
+    flat codebook's row count, or a hierarchical vocabulary's leaf count).
+    BoW-vector / database shapes derive from this at trace time."""
+    if _ACTIVE_ANCHORS is not None:
+        return _ACTIVE_ANCHORS.shape[0]
+    return N_WORDS
+
+
+def set_vocabulary(anchors_pm) -> None:
     """Install a (possibly trained) codebook process-wide — the analogue of
     the reference passing `ORBvoc.txt` to the System ctor
     (`/root/reference/src/imu_mono_realsense.cpp:52-53,99`). Must run before
     any jitted BoW function is traced (the System ctor does); clears jit
-    caches so retracing picks the new anchors up."""
-    global _ACTIVE_ANCHORS
+    caches so retracing picks the new anchors up.
+
+    Accepts either a flat (W, 256) ±1 array (any W) or a hierarchical
+    `hvocab.HierVocab` — with a tree, word assignment walks the k-ary tree
+    (O(N·d·k·256)) instead of the flat matmul (O(N·W·256)), which is what
+    makes ≥10⁴-word vocabularies per-frame-affordable."""
+    global _ACTIVE_ANCHORS, _ACTIVE_TREE
+    from orb_slam3_ros2_tpu.loop import hvocab as hv
+
+    if isinstance(anchors_pm, hv.HierVocab):
+        _ACTIVE_TREE = anchors_pm
+        _ACTIVE_ANCHORS = hv.flat_leaves(anchors_pm)
+        jax.clear_caches()
+        return
     a = np.asarray(anchors_pm, np.float32)
-    if a.shape != (N_WORDS, N_BITS):
+    if a.ndim != 2 or a.shape[1] != N_BITS:
         raise ValueError(
-            f"vocabulary must be ({N_WORDS}, {N_BITS}) ±1, got {a.shape}"
+            f"vocabulary must be (W, {N_BITS}) ±1, got {a.shape}"
         )
     if not np.all(np.abs(a) == 1.0):
         raise ValueError("vocabulary anchors must be ±1 sign vectors")
+    _ACTIVE_TREE = None
     _ACTIVE_ANCHORS = a
     jax.clear_caches()  # anchors are trace-time constants in the BoW fns
 
@@ -108,7 +131,14 @@ def train_vocabulary(signs: np.ndarray, n_words: int = N_WORDS,
 
 
 def assign_words(signs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """(N, 256) ±1 descriptors -> (N,) word ids (masked entries -> -1)."""
+    """(N, 256) ±1 descriptors -> (N,) word ids (masked entries -> -1).
+
+    Tree walk when a hierarchical vocabulary is installed, flat matmul
+    argmax otherwise."""
+    if _ACTIVE_TREE is not None:
+        from orb_slam3_ros2_tpu.loop import hvocab as hv
+
+        return hv.assign_words_tree(_ACTIVE_TREE, signs, mask)
     sim = jax.lax.dot_general(
         signs, anchors(),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -121,9 +151,10 @@ def assign_words(signs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 def bow_vector(signs: jnp.ndarray, mask: jnp.ndarray,
                idf: jnp.ndarray | None = None) -> jnp.ndarray:
     """L2-normalized (idf-weighted) word histogram of one frame: (W,)."""
+    W = n_words()
     w = assign_words(signs, mask)
-    hist = jnp.zeros((N_WORDS,), jnp.float32).at[
-        jnp.where(w >= 0, w, N_WORDS)
+    hist = jnp.zeros((W,), jnp.float32).at[
+        jnp.where(w >= 0, w, W)
     ].add(1.0, mode="drop")
     if idf is not None:
         hist = hist * idf
@@ -140,10 +171,11 @@ class BowDatabase(NamedTuple):
 
 
 def empty_database(max_kf: int) -> BowDatabase:
+    W = n_words()
     return BowDatabase(
-        vecs=jnp.zeros((max_kf, N_WORDS), jnp.float32),
+        vecs=jnp.zeros((max_kf, W), jnp.float32),
         valid=jnp.zeros((max_kf,), bool),
-        doc_freq=jnp.zeros((N_WORDS,), jnp.float32),
+        doc_freq=jnp.zeros((W,), jnp.float32),
         n=jnp.zeros((), jnp.int32),
     )
 

@@ -98,31 +98,51 @@ def gather_patches(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
 
 def gather_patches_multi(imgs, yx: jnp.ndarray):
     """Gather the same (N, PATCH, PATCH) windows from several same-shape
-    images (e.g. the raw level for orientation moments + the blurred level
-    for BRIEF). On TPU the row gathers and the column one-hot are built
-    once and reused across images, so the second image costs only its own
-    einsum — cheaper than two independent gather_patches calls.
+    images (e.g. the raw canvas for orientation moments + the blurred
+    canvas for BRIEF).
+
+    TPU path: BLOCK gather. A full-width row gather materializes
+    (N·31, W) — ~120 MB/frame at W=752/N≈1100, the dominant extraction
+    traffic (r4 profiling). Instead the image is viewed as 128-lane
+    blocks; each patch row needs at most TWO adjacent blocks, so the
+    gather moves (N·31·2, 128) bf16 = ~7x less, and the 31-column select
+    becomes a one-hot over 256 lanes (shared across images). bf16 is free
+    precision-wise — describe() rounds patch intensities to bf16 anyway,
+    and the IC moments sum ~700 ±0.5-rounded values (µrad angle noise).
     """
     if jax.default_backend() != "tpu":
         return tuple(gather_patches(im, yx) for im in imgs)
+    return _gather_patches_block(imgs, yx)
+
+
+def _gather_patches_block(imgs, yx: jnp.ndarray):
     yx = jnp.asarray(yx, dtype=jnp.int32)
     start = yx - PATCH_R
     N = yx.shape[0]
-    W = imgs[0].shape[1]
+    H, W = imgs[0].shape
+    nblk = -(-W // 128)
+    Wp = nblk * 128
     dr = jnp.arange(PATCH, dtype=jnp.int32)
-    ridx = (start[:, 0, None] + dr[None, :]).reshape(-1)
-    cols = start[:, 1, None] + dr[None, :]
-    onehot = (cols[:, :, None] ==
-              jnp.arange(W, dtype=jnp.int32)[None, None, :])
-    # bf16 rows + one-hot: halves the HBM traffic of the column-select
-    # einsums and doubles MXU rate. Precision is free here — describe()
-    # already rounds patch intensities to bf16 before its matmul, and the
-    # IC moments sum ~700 ±0.5-rounded values (µrad-scale angle noise).
-    oh = onehot.astype(jnp.bfloat16)
+    rows = start[:, 0, None] + dr[None, :]  # (N, 31) absolute rows
+    b0 = start[:, 1] // 128  # (N,) first 128-block of the window
+    off = start[:, 1] - b0 * 128  # (N,) in [0, 127]
+    # flat (row, block) indices for the two adjacent blocks per patch row
+    bidx = (
+        rows[:, :, None] * nblk
+        + jnp.clip(b0[:, None, None] + jnp.arange(2)[None, None, :],
+                   0, nblk - 1)
+    ).reshape(-1)  # (N*31*2,)
+    cols = off[:, None] + dr[None, :]  # (N, 31) in [0, 157]
+    oh = (cols[:, :, None] ==
+          jnp.arange(256, dtype=jnp.int32)[None, None, :]
+          ).astype(jnp.bfloat16)
     out = []
     for im in imgs:
-        rows = im[ridx].reshape(N, PATCH, W).astype(jnp.bfloat16)
-        out.append(jnp.einsum("nrw,ncw->nrc", rows, oh,
+        imb = im.astype(jnp.bfloat16)
+        if Wp != W:
+            imb = jnp.pad(imb, ((0, 0), (0, Wp - W)))
+        g = imb.reshape(H * nblk, 128)[bidx].reshape(N, PATCH, 256)
+        out.append(jnp.einsum("nrw,ncw->nrc", g, oh,
                               precision=jax.lax.Precision.DEFAULT,
                               preferred_element_type=jnp.float32))
     return tuple(out)
@@ -270,21 +290,38 @@ def _describe_exact(patches: jnp.ndarray, angles: jnp.ndarray):
     return vals.reshape(patches.shape[0], N_BITS, 2)
 
 
+@functools.lru_cache(maxsize=None)
+def _steer_weights_diff() -> np.ndarray:
+    """(PATCH*PATCH, A*256) tau-DIFFERENCE sampling matrix.
+
+    The tau test only needs sign(v_s0 − v_s1), so the two sample points of
+    each bit fold into ONE weight column (difference of the two bilinear
+    stencils) — half the matmul FLOPs and half the (N, A, ·) intermediate
+    of sampling both points separately."""
+    W = _steer_weights().reshape(PATCH * PATCH, N_ANGLE_BINS, N_BITS, 2)
+    return np.ascontiguousarray(
+        (W[..., 0] - W[..., 1]).reshape(PATCH * PATCH, -1)
+    )
+
+
 def _describe_binned(patches: jnp.ndarray, angles: jnp.ndarray):
-    """Binned-angle steering as one MXU matmul + 2-bin blend (TPU path)."""
+    """Binned-angle steering as one MXU matmul + 2-bin blend (TPU path).
+
+    Returns the per-bit tau difference (N, 256); sign(diff) is the bit."""
     N = patches.shape[0]
     A = N_ANGLE_BINS
     flat = patches.reshape(N, PATCH * PATCH)
-    W = jnp.asarray(_steer_weights()).astype(jnp.bfloat16)  # (961, A*512)
+    W = jnp.asarray(_steer_weights_diff()).astype(jnp.bfloat16)  # (961, A*256)
 
-    # (N, A*512): every keypoint sampled at every bin angle. bf16 is fine
-    # here — weights and intensities round to ~0.4%, far below the
-    # tau-test contrast scale (bounded by the binned-vs-exact test).
+    # (N, A*256): every keypoint's tau differences at every bin angle.
+    # bf16 is fine here — weights and intensities round to ~0.4%, far
+    # below the tau-test contrast scale (bounded by the binned-vs-exact
+    # test).
     vals_all = jax.lax.dot_general(
         flat.astype(jnp.bfloat16), W, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
-    ).reshape(N, A, N_BITS * 2)
+    ).reshape(N, A, N_BITS)
 
     two_pi = 2.0 * jnp.pi
     tbin = jnp.mod(angles, two_pi) / (two_pi / A)  # fractional bin in [0, A)
@@ -297,8 +334,7 @@ def _describe_binned(patches: jnp.ndarray, angles: jnp.ndarray):
                     precision=jax.lax.Precision.DEFAULT)
     v1 = jnp.einsum("na,naq->nq", oh1, vals_all,
                     precision=jax.lax.Precision.DEFAULT)
-    vals = (1.0 - f) * v0 + f * v1  # (N, 512)
-    return vals.reshape(N, N_BITS, 2)
+    return (1.0 - f) * v0 + f * v1  # (N, 256) tau differences
 
 
 def describe(patches: jnp.ndarray, angles: jnp.ndarray,
@@ -313,9 +349,12 @@ def describe(patches: jnp.ndarray, angles: jnp.ndarray,
     """
     if binned is None:
         binned = jax.default_backend() == "tpu"
-    vals = _describe_binned(patches, angles) if binned \
-        else _describe_exact(patches, angles)
-    bits_bool = vals[:, :, 0] < vals[:, :, 1]  # tau test
+    if binned:
+        diff = _describe_binned(patches, angles)
+    else:
+        vals = _describe_exact(patches, angles)
+        diff = vals[:, :, 0] - vals[:, :, 1]
+    bits_bool = diff < 0  # tau test: v_s0 < v_s1
     signs = jnp.where(bits_bool, 1.0, -1.0).astype(jnp.float32)
     bits = pack_bits(bits_bool)
     return signs, bits

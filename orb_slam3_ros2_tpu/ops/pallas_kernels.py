@@ -412,6 +412,186 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# --------------------------------------------------------------------------
+# packed-pyramid frontend: ALL levels in one canvas, ONE kernel launch
+# --------------------------------------------------------------------------
+#
+# The per-level frontend_pass_lite costs ~8 small pallas launches per frame
+# (~50 µs fixed cost each — half the extraction stage, r4 profiling). The
+# packed variant stacks every pyramid level vertically in one
+# (ΣH_l + gaps, W0) canvas (gap rows of zeros isolate the 4-px compute
+# stencils) and runs ONE banded kernel over it; per-level interior masks
+# are reconstructed in-kernel from the STATIC packing layout. A raw-canvas
+# echo output keeps raw/blurred pixel coordinates identical so the
+# downstream patch gather runs once over all levels too.
+
+PACK_GAP = 8  # zero rows between packed levels (> max stencil reach 4)
+PHALO = 8  # packed-kernel halo: 4-px stencil reach (FAST ring 3 + NMS 1),
+# padded to 8 so slab slicing stays sublane-aligned
+PTILE = 48  # packed-kernel band height (shallower live set than the
+# moments kernel -> taller bands amortize per-band fixed cost)
+
+
+def _wpad_p(W: int) -> int:
+    return _cdiv(W + 2 * PHALO, 128) * 128
+
+
+def pack_layout(shapes):
+    """[(H_l, W_l)] -> (layout [(row0, H_l, W_l)], total_rows)."""
+    layout = []
+    off = 0
+    for (h, w) in shapes:
+        layout.append((off, h, w))
+        off += h + PACK_GAP
+    total = _cdiv(off - PACK_GAP, PTILE) * PTILE
+    return tuple(layout), total
+
+
+def _make_frontend_kernel_packed(layout, W0: int):
+    """frontend_pass_lite semantics over a packed multi-level canvas.
+
+    `layout` is static: per-level (row0, H_l, W_l) in canvas coordinates.
+    Outputs: score, keep, blur, raw — all (Hp_total, W0), gap rows zero."""
+    taps = [float(v) for v in pyr_ops._gauss_kernel1d(7, 2.0)]
+    HF = PHALO
+    TILE = PTILE
+
+    def kernel(prev_ref, cur_ref, next_ref, score_ref, keep_ref, blur_ref,
+               raw_ref):
+        i = pl.program_id(0)
+        a = jnp.concatenate(
+            [prev_ref[TILE - HF:], cur_ref[:], next_ref[:HF]], axis=0
+        )
+        th, tw = TILE + 2, W0 + 2
+
+        center = a[HF - 1:HF - 1 + th, HF - 1:HF - 1 + tw]
+        d = []
+        for k in range(16):
+            dy, dx = OFFSETS[k]
+            d.append(a[HF - 1 + dy:HF - 1 + dy + th,
+                       HF - 1 + dx:HF - 1 + dx + tw] - center)
+
+        def win9(vals, op):
+            m2 = [op(vals[k], vals[(k + 1) % 16]) for k in range(16)]
+            m4 = [op(m2[k], m2[(k + 2) % 16]) for k in range(16)]
+            m8 = [op(m4[k], m4[(k + 4) % 16]) for k in range(16)]
+            return [op(m8[k], vals[(k + 8) % 16]) for k in range(16)]
+
+        mins = win9(d, jnp.minimum)
+        maxs = win9(d, jnp.maximum)
+        best = jnp.maximum(mins[0], -maxs[0])
+        for k in range(1, 16):
+            best = jnp.maximum(best, jnp.maximum(mins[k], -maxs[k]))
+
+        # per-level interior mask from the STATIC layout: canvas row ->
+        # (row-in-level, H_l, W_l); gap rows keep y_in = -1 -> masked
+        gy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + i * TILE - 1
+        gx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) - 1
+        y_in = jnp.full((th, tw), -1, jnp.int32)
+        hl = jnp.zeros((th, tw), jnp.int32)
+        wl = jnp.zeros((th, tw), jnp.int32)
+        for (r0, h, w) in layout:
+            sel = (gy >= r0) & (gy < r0 + h)
+            y_in = jnp.where(sel, gy - r0, y_in)
+            hl = jnp.where(sel, h, hl)
+            wl = jnp.where(sel, w, wl)
+        interior = (
+            (y_in >= BORDER) & (y_in < hl - BORDER)
+            & (gx >= BORDER) & (gx < wl - BORDER)
+        )
+        sc = jnp.where(interior, jnp.maximum(best, 0.0), 0.0)
+        score_ref[:] = sc[1:1 + TILE, 1:1 + W0]
+
+        keep = jnp.ones((TILE, W0), jnp.float32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                neigh = sc[1 + dy:1 + dy + TILE, 1 + dx:1 + dx + W0]
+                if (dy, dx) < (0, 0) or ((dy, dx) == (0, -1)):
+                    ok = sc[1:1 + TILE, 1:1 + W0] > neigh
+                else:
+                    ok = sc[1:1 + TILE, 1:1 + W0] >= neigh
+                keep = keep * ok.astype(jnp.float32)
+        keep_ref[:] = keep
+
+        v = jnp.zeros((TILE, W0 + 8), jnp.float32)
+        for t in range(7):
+            v = v + taps[t] * a[HF - 3 + t:HF - 3 + t + TILE,
+                                HF - 4:HF + 4 + W0]
+        out = jnp.zeros((TILE, W0), jnp.float32)
+        for t in range(7):
+            out = out + taps[t] * v[:, 1 + t:1 + t + W0]
+        blur_ref[:] = out
+        # raw echo: aligns raw pixels with the blur canvas so ONE patch
+        # gather serves both (orientation + BRIEF)
+        raw_ref[:] = a[HF:HF + TILE, HF:HF + W0]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _frontend_packed_call(layout, total_rows: int, W0: int,
+                          interpret: bool):
+    wp = _wpad_p(W0)
+    in_band = lambda off: pl.BlockSpec(
+        (PTILE, wp), lambda i, off=off: (i + off, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_band = pl.BlockSpec((PTILE, W0), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_frontend_kernel_packed(layout, W0),
+        grid=(total_rows // PTILE,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((total_rows, W0), jnp.float32)
+            for _ in range(4)
+        ),
+        in_specs=[in_band(0), in_band(1), in_band(2)],
+        out_specs=(out_band,) * 4,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )
+
+
+def frontend_pass_packed(levels, interpret: bool | None = None):
+    """All pyramid levels -> (score, keep, blur, raw) packed canvases +
+    the static layout. ONE kernel launch for the whole frontend.
+
+    Off-TPU (and not `interpret`): jnp fallback with identical packed
+    output semantics, so CPU callers exercise the same canvas contract."""
+    shapes = tuple((int(l.shape[0]), int(l.shape[1])) for l in levels)
+    layout, total = pack_layout(shapes)
+    W0 = shapes[0][1]
+
+    if interpret is None and not _on_tpu():
+        from orb_slam3_ros2_tpu.ops import orb_descriptor as desc_ops  # noqa
+
+        score = jnp.zeros((total, W0), jnp.float32)
+        keep = jnp.zeros((total, W0), bool)
+        blur = jnp.zeros((total, W0), jnp.float32)
+        raw = jnp.zeros((total, W0), jnp.float32)
+        for (r0, h, w), im_l in zip(layout, levels):
+            s_l = fast_ops.fast_score(im_l)
+            k_l = fast_ops.nms3x3(s_l)
+            b_l = pyr_ops.gaussian_blur(im_l)
+            score = jax.lax.dynamic_update_slice(score, s_l, (r0, 0))
+            keep = jax.lax.dynamic_update_slice(keep, k_l, (r0, 0))
+            blur = jax.lax.dynamic_update_slice(blur, b_l, (r0, 0))
+            raw = jax.lax.dynamic_update_slice(raw, im_l, (r0, 0))
+        return score, keep, blur, raw, layout
+
+    canvas = jnp.zeros((total + 2 * PTILE, _wpad_p(W0)), jnp.float32)
+    for (r0, h, w), im_l in zip(layout, levels):
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, im_l, (PTILE + r0, PHALO))
+    call = _frontend_packed_call(layout, total, W0, bool(interpret))
+    score, keepf, blur, raw = call(canvas, canvas, canvas)
+    return score, keepf > 0.5, blur, raw, layout
+
+
 def fast_nms(img: jnp.ndarray, interpret: bool | None = None):
     """(H, W) image -> (score, keep) like fast.fast_score + fast.nms3x3.
 

@@ -109,8 +109,18 @@ class System:
         init_frame: int = 0,
         load_atlas: Optional[str] = None,
         mesh=None,
+        pipelined: bool = False,
     ):
         del init_frame
+        # Latency-tolerant operating mode (r3 verdict item 1): while
+        # tracking is OK in MONOCULAR mode, per-frame results are consumed
+        # ONE FRAME BEHIND via an async device→host copy, the next frame's
+        # pose prediction is computed on-device from device-resident pose
+        # handles, and the keyframe decision consumes the lagged summary —
+        # the steady-state loop never blocks on link latency. Exposed
+        # poses/LOST decisions lag one frame; `_flush_pipeline` (called by
+        # every trajectory/state reader) drains the in-flight frame.
+        self.pipelined = bool(pipelined)
         # Device mesh for the DISTRIBUTED operating mode (r2 verdict item 2):
         # when set, global BA (explicit and post-loop) dispatches to the
         # landmark-sharded Schur solver over the mesh's ICI collectives
@@ -356,6 +366,91 @@ class System:
 
         self._bump = bump_counters
 
+        @functools.partial(jax.jit, static_argnames=("ba_iters",))
+        def mapping_step(m, R, t, timestamp, uv, level, bits, mask,
+                         obs_clean, ba_iters=10):
+            """The WHOLE visual keyframe-insertion pipeline as ONE device
+            program: insert KF -> triangulate vs predecessor -> add
+            landmarks -> pick best-covisible second partner -> strict
+            triangulation -> add -> SearchAndFuse -> covisibility-window
+            local BA -> landmark culling. The staged host path made ~10
+            sequential dispatches here (~250 ms through a 25 ms-latency
+            remote-TPU tunnel per keyframe — the r3 verdict's dominant
+            steady-state cost); this is the same latency fusion
+            track_frame applied per frame, applied to mapping.
+
+            Returns (m', summary) with summary packing the BA-refined new
+            keyframe pose + counters the host branches on:
+            [R(9), t(3), n_kf, n_lm] — one fetch serves keyframe-pose
+            adoption AND the compaction triggers."""
+            new_id = m.n_kf
+            prev_id = new_id - 1
+            m = ms.insert_keyframe(m, R, t, timestamp, uv, level, bits,
+                                   mask, obs_clean)
+            X, bts, acc, fa, fb = trk.triangulate_between(
+                m, new_id, prev_id, fx=fx, fy=fy, cx=cx, cy=cy)
+            m = ms.add_landmarks(m, X, bts, acc, new_id, new_id, fa,
+                                 prev_id, fb)
+            # second partner: most covisible beyond the predecessor;
+            # best_covisible falls back to prev_id when nothing qualifies,
+            # so the strict pass self-masks in that case
+            partner = trk.best_covisible(
+                m, new_id, jnp.stack([new_id, prev_id]))
+            partner_ok = (partner != new_id) & (partner != prev_id) & (
+                partner >= 0)
+            X2, b2, a2, fa2, fb2 = trk.triangulate_between(
+                m, new_id, partner, fx=fx, fy=fy, cx=cx, cy=cy,
+                reproj_th=1.0, max_dist=35.0)
+            m = ms.add_landmarks(m, X2, b2, a2 & partner_ok, new_id,
+                                 new_id, fa2, partner, fb2)
+            m, _, _ = trk.fuse_map_points(m, new_id, fx=fx, fy=fy, cx=cx,
+                                          cy=cy, width=W, height=H)
+            ids, fix = trk.select_local_window(
+                m, new_id, n_window=self.LOCAL_WINDOW,
+                n_fixed_ring=self.LOCAL_FIXED_RING)
+            m = trk.local_ba(m, ids, fix, fx, fy, cx, cy, n_iters=ba_iters)
+            m = trk.cull_landmarks(m)
+            summary = jnp.concatenate([
+                m.kf_R[new_id].reshape(-1), m.kf_t[new_id],
+                jnp.stack([m.n_kf.astype(jnp.float32),
+                           m.n_lm.astype(jnp.float32)]),
+            ])
+            return m, summary
+
+        self._mapping_step = mapping_step
+
+        @jax.jit
+        def frame_step(m, R_cur, t_cur, R_prev, t_prev, img):
+            """Pipelined per-frame device program: extraction + undistort +
+            constant-velocity prediction + the fused track_frame + counter
+            bumps — with the pose PREDICTION COMPUTED ON DEVICE from the
+            previous two frames' device-resident poses, so the host can
+            dispatch frame k+1 without ever fetching frame k's result. The
+            packed summary is fetched asynchronously one frame behind
+            (System._track_pipelined): steady-state cost is one non-blocking
+            dispatch per frame instead of a blocking link round-trip."""
+            import dataclasses
+
+            f = self._extract(img)
+            uv_u = undistort(f.uv)
+            # T_pred = (T_cur ∘ T_prev⁻¹) ∘ T_cur  — constant velocity
+            R_v, t_v = lie.se3_compose(
+                R_cur, t_cur, *lie.se3_inverse(R_prev, t_prev))
+            R_pred, t_pred = lie.se3_compose(R_v, t_v, R_cur, t_cur)
+            tm, res, obs_clean, summary = trk.track_frame(
+                m, uv_u, f.signs, f.mask, f.level, R_pred, t_pred,
+                fx, fy, cx, cy, W, H, scale_factor=sf,
+                min_matches=self.MIN_TRACK_INLIERS, cap_visible=cap_vis,
+            )
+            m2 = m._replace(
+                lm_visible=m.lm_visible + tm.lm_visible_inc,
+                lm_found=m.lm_found + tm.lm_found_inc,
+            )
+            f_u = dataclasses.replace(f, uv=uv_u)
+            return m2, f_u, obs_clean, res.R, res.t, summary
+
+        self._frame_step = frame_step
+
         n_pre = max(int(4.0 * self.settings.imu_frequency / max(
             self.settings.fps, 1.0)), 16)
         self._pre_cap = n_pre  # static preintegration batch capacity / frame
@@ -484,6 +579,11 @@ class System:
         self.frames_lost = 0
         # temporal-consistency state: [(covisible group set, count), ...]
         self._loop_consistency: List[Tuple[set, int]] = []
+        # frame-reference cache (see _current_frame_ref)
+        self._frame_ref_cache = None
+        # pipelined-mode state (see _track_pipelined)
+        self._pend = None
+        self._chain = None
 
     # ---------------------------------------------------------------- atlas
 
@@ -507,6 +607,7 @@ class System:
 
     def save_atlas(self, path: Optional[str] = None) -> Optional[str]:
         """`System.SaveAtlasToFile` parity; returns the saved path."""
+        self._flush_pipeline()
         path = path or self.settings.save_atlas_to_file
         if not path:
             return None
@@ -569,6 +670,16 @@ class System:
             self._kf_imu_buf.extend(imu_measurements)
 
         img = self._preprocess(im)
+        if (self.pipelined and self.state == TrackingState.OK
+                and self.sensor == Sensor.MONOCULAR):
+            # latency-tolerant path: one non-blocking dispatch; results
+            # consumed one frame behind (trajectory/log entries appended at
+            # consume time, so counts stay one-per-frame)
+            self._track_pipelined(img, timestamp, t0)
+            self.n_frames += 1
+            return self.Tcw.copy()
+        self._flush_pipeline()
+
         with self.tracer.stage("extract"):
             feats = self._extract_undistorted(img)
 
@@ -754,6 +865,7 @@ class System:
     def get_map_pcl(self) -> np.ndarray:
         """Map-point snapshot — `GetMapPCL` parity
         (`src/imu_mono_realsense.cpp:460`)."""
+        self._flush_pipeline()
         X = np.asarray(self.map.lm_X)
         valid = np.asarray(self.map.lm_valid)
         return X[valid]
@@ -777,23 +889,40 @@ class System:
         return self.state
 
     def get_trajectory(self):
+        self._flush_pipeline()
         return list(self.trajectory)
+
+    def _mark_frame_ref_dirty(self):
+        self._frame_ref_cache = None
 
     def _current_frame_ref(self):
         """Latest keyframe's (timestamp, current map pose, cumulative map
         scale) — the reference a frame's relative transform is stored
         against. The scale snapshot lets get_frame_trajectory re-express
         the relative translation when a later VI init / scale refinement
-        rescales the world."""
+        rescales the world.
+
+        CACHED: reading it fresh costs two device fetches (n_kf + the pose
+        rows) — two full link round-trips per frame on a remote-chip host.
+        The value only changes on keyframe insertion / loop closure /
+        rescale / compaction, so those events invalidate the cache (or, in
+        the fused insertion path, refill it from the packed summary with no
+        fetch at all)."""
+        cache = getattr(self, "_frame_ref_cache", None)
+        if cache is not None:
+            return cache
         if not self.kf_times or int(self.map.n_kf) == 0:
-            return (None, None, 1.0)
-        k = min(len(self.kf_times), int(self.map.n_kf)) - 1
-        return (
-            self.kf_times[k],
-            self._pose44(np.asarray(self.map.kf_R[k]),
-                         np.asarray(self.map.kf_t[k])),
-            float(getattr(self, "scale_applied", 1.0)),
-        )
+            ref = (None, None, 1.0)
+        else:
+            k = min(len(self.kf_times), int(self.map.n_kf)) - 1
+            ref = (
+                self.kf_times[k],
+                self._pose44(np.asarray(self.map.kf_R[k]),
+                             np.asarray(self.map.kf_t[k])),
+                float(getattr(self, "scale_applied", 1.0)),
+            )
+        self._frame_ref_cache = ref
+        return ref
 
     def get_frame_trajectory(self):
         """(t, T_cw 4x4) per tracked frame with retroactive corrections:
@@ -805,6 +934,7 @@ class System:
         Tcr against the track-time reference [upstream]). Frames whose
         reference keyframe no longer survives (culled / other map) fall
         back to their raw online pose."""
+        self._flush_pipeline()
         kf_final = {}
         for t, T in self.get_keyframe_trajectory():
             kf_final[round(t, 9)] = T
@@ -834,6 +964,7 @@ class System:
         """(t, T_cw 4x4) per keyframe from the *current* map — i.e. with all
         retroactive BA / loop / scale corrections applied (the upstream
         `SaveKeyFrameTrajectoryTUM` evaluation surface [upstream])."""
+        self._flush_pipeline()
         n_kf = int(self.map.n_kf)
         kR = np.asarray(self.map.kf_R)[:n_kf]
         kt = np.asarray(self.map.kf_t)[:n_kf]
@@ -1002,6 +1133,93 @@ class System:
         T[:3, 3] = t_cw_p
         return T
 
+    # ------------------------------------------------- pipelined tracking
+
+    def _track_pipelined(self, img, timestamp: float, t0: float):
+        """Dispatch this frame's full device program and consume the
+        PREVIOUS frame's summary (already transferred by its async copy).
+        The device pose chain (R_cur, t_cur, R_prev, t_prev) lives entirely
+        in device handles — prediction never round-trips."""
+        if self._chain is None:
+            R_cur = jnp.asarray(self.Tcw[:3, :3])
+            t_cur = jnp.asarray(self.Tcw[:3, 3])
+            if self.velocity is not None:
+                Tp = np.linalg.inv(self.velocity) @ self.Tcw
+            else:
+                Tp = self.Tcw
+            self._chain = (R_cur, t_cur, jnp.asarray(Tp[:3, :3]),
+                           jnp.asarray(Tp[:3, 3]))
+        with self.tracer.stage("frame_step"):
+            m2, feats, obs_clean, Rk, tk, summary = self._frame_step(
+                self.map, *self._chain, img)
+        self.map = m2
+        try:
+            summary.copy_to_host_async()
+        except AttributeError:
+            pass
+        pend, self._pend = self._pend, (summary, feats, obs_clean,
+                                        timestamp, t0)
+        self._chain = (Rk, tk, self._chain[0], self._chain[1])
+        if pend is not None:
+            self._consume_pend(pend)
+
+    def _flush_pipeline(self):
+        """Drain the in-flight frame (if any) and drop the device chain —
+        called before any staged-path work or state read."""
+        pend, self._pend = self._pend, None
+        if pend is not None:
+            self._consume_pend(pend)
+        self._chain = None
+
+    def _append_frame_record(self, ts: float, t0: float):
+        self.trajectory.append((ts, self.Tcw.copy()))
+        self.frame_refs.append(self._current_frame_ref())
+        self.tracking_log.append({
+            "t": ts, "state": int(self.state),
+            "ms": (_time.perf_counter() - t0) * 1e3,
+        })
+
+    def _consume_pend(self, pend):
+        """Apply one lagged frame result to the host state machine."""
+        summary, feats, obs_clean, ts, t0 = pend
+        # with the async copy started a frame ago this is a local read, not
+        # a link round-trip; the tracer stage makes that observable
+        with self.tracer.stage("summary_fetch"):
+            s = np.asarray(summary)
+        n_match, n_inl, n_kf = int(s[12]), int(s[13]), int(s[14])
+        if (n_match < self.MIN_TRACK_INLIERS
+                or n_inl < self.MIN_TRACK_INLIERS):
+            # LOST is detected one frame late; the in-flight frame (if any)
+            # chained its prediction off this failed pose — drop it and
+            # record both frames at the last good pose
+            self.state = TrackingState.LOST
+            drop, self._pend = self._pend, None
+            self._chain = None
+            self._append_frame_record(ts, t0)
+            if drop is not None:
+                self._append_frame_record(drop[3], drop[4])
+            return
+        T_new = self._pose44(s[:9].reshape(3, 3), s[9:12])
+        if self.last_Tcw is not None:
+            self.velocity = T_new @ np.linalg.inv(self.last_Tcw)
+        self.last_Tcw = T_new
+        self.Tcw = T_new
+        self.frames_since_kf += 1
+        self.last_frame_feats = feats
+        self.last_frame_time = ts
+        self._append_frame_record(ts, t0)
+        if self._need_keyframe(n_inl, n_kf):
+            with self.tracer.stage("insert_kf"):
+                compact0 = getattr(self, "_compact_events", 0)
+                self._insert_keyframe(feats, obs_clean, ts, n_inl)
+                if getattr(self, "_compact_events", 0) != compact0:
+                    # slot compaction remapped landmark/keyframe ids: the
+                    # in-flight frame's associations are stale — drop it
+                    drop, self._pend = self._pend, None
+                    self._chain = None
+                    if drop is not None:
+                        self._append_frame_record(drop[3], drop[4])
+
     def _track(self, feats, timestamp: float, stereo=None, imu=()):
         # IMU-propagated prediction once initialized (PredictStateIMU
         # equivalent), constant-velocity otherwise
@@ -1074,6 +1292,13 @@ class System:
 
     def _insert_keyframe(self, feats, obs_clean, timestamp: float, n_inl: int,
                          stereo=None):
+        # pure-visual monocular mapping runs as ONE fused device program
+        # (insert→triangulate×2→fuse→local BA→cull, see _mapping_step);
+        # stereo landmark spawning and the IMU preint/VI-BA scheduling keep
+        # the staged path (they interleave host state)
+        if stereo is None and self.sensor not in IMU_MODES:
+            return self._insert_keyframe_fused(feats, obs_clean, timestamp,
+                                               n_inl)
         m = self.map
         m = self._insert_kf(
             m,
@@ -1164,6 +1389,55 @@ class System:
             self.Tcw = self._pose44(
                 np.asarray(m.kf_R[new_id]), np.asarray(m.kf_t[new_id])
             )
+        self._mark_frame_ref_dirty()
+
+    def _insert_keyframe_fused(self, feats, obs_clean, timestamp: float,
+                               n_inl: int):
+        """Host shell of the fused visual mapping step: one device dispatch
+        (_mapping_step) + one packed-summary fetch, then the rare host-side
+        bookkeeping (BoW insert, compaction triggers, loop closing). The
+        staged equivalent cost ~10 sequential dispatches per keyframe."""
+        with self.tracer.stage("mapping_fused"):
+            m, summary = self._mapping_step(
+                self.map,
+                jnp.asarray(self.Tcw[:3, :3]), jnp.asarray(self.Tcw[:3, 3]),
+                jnp.asarray(timestamp),
+                feats.uv, feats.level, feats.bits, feats.mask,
+                obs_clean.astype(jnp.int32),
+            )
+            self.map = m
+            # BoW row rides the same turnaround (async dispatch, no fetch)
+            self.bow_db = vocab_mod.add_keyframe(self.bow_db, feats.signs,
+                                                 feats.mask)
+            s = np.asarray(summary)
+        n_kf_after = int(s[12])
+        n_lm = int(s[13])
+        new_id = n_kf_after - 1
+        self.kf_times.append(timestamp)
+        self.frames_since_kf = 0
+        self.last_kf_inliers = max(n_inl, 1)
+        kf_remap = self._maybe_compact(n_kf=n_kf_after, n_lm=n_lm)
+        if kf_remap is not None:
+            new_id = int(kf_remap[new_id])
+        closed_before = (self.n_loops_closed, self.n_maps_merged)
+        if self.settings.loop_closing:
+            with self.tracer.stage("loop_closing"):
+                self._try_close_loop(new_id, feats)
+        # adopt the BA-refined keyframe pose (same semantics as the staged
+        # path's tail: seeds the next frame's motion model). A loop closure
+        # rewrites keyframe poses, so re-read in that (rare) case.
+        if (self.n_loops_closed, self.n_maps_merged) != closed_before:
+            m = self.map
+            self.Tcw = self._pose44(np.asarray(m.kf_R[new_id]),
+                                    np.asarray(m.kf_t[new_id]))
+            self._mark_frame_ref_dirty()
+        else:
+            self.Tcw = self._pose44(s[:9].reshape(3, 3), s[9:12])
+            # frame-reference cache refills straight from the summary —
+            # zero extra fetches per keyframe
+            self._frame_ref_cache = (
+                timestamp, self.Tcw.copy(),
+                float(getattr(self, "scale_applied", 1.0)))
 
     # ------------------------------------------------------- map maintenance
 
@@ -1173,20 +1447,34 @@ class System:
     # BA window, the VI window, and the loop-closing exclusion zone)
     KF_REDUNDANT_TH = 0.8  # redundancy score above which a KF is expendable
 
-    def _maybe_compact(self):
+    def _maybe_compact(self, n_kf: int = -1, n_lm: int = -1):
         """Slot lifecycle: reclaim culled-landmark slots and cull redundant
         keyframes when capacities near exhaustion. The reference engine
         deletes MapPoints/KeyFrames from its pointer graph continuously
         [upstream MapPointCulling / KeyFrameCulling]; with fixed-capacity
         arrays we compact in batch instead — rare, so the host-side
         bookkeeping cost is amortized. Returns the keyframe remap (old id ->
-        new id, -1 dropped) if keyframes moved, else None."""
+        new id, -1 dropped) if keyframes moved, else None.
+
+        `n_kf`/`n_lm` let callers that already hold the counters (they ride
+        the fused mapping summary) skip the device fetches here — each is a
+        full link round-trip on a remote-chip host."""
         m = self.map
-        if int(m.n_lm) > self.LM_COMPACT_FRAC * self.map_cfg.max_lm:
+        if n_lm < 0:
+            n_lm = int(m.n_lm)
+        if n_lm > self.LM_COMPACT_FRAC * self.map_cfg.max_lm:
             m, _ = self._compact_lms(m)
             self.map = m
-        if int(m.n_kf) >= self.map_cfg.max_kf - self.KF_CULL_HEADROOM:
-            return self._cull_keyframes()
+            self._compact_events = getattr(self, "_compact_events", 0) + 1
+        if n_kf < 0:
+            n_kf = int(m.n_kf)
+        if n_kf >= self.map_cfg.max_kf - self.KF_CULL_HEADROOM:
+            remap = self._cull_keyframes()
+            if remap is not None:
+                self._compact_events = getattr(self, "_compact_events",
+                                               0) + 1
+                self._mark_frame_ref_dirty()
+            return remap
         return None
 
     def _cull_keyframes(self):
@@ -1464,6 +1752,7 @@ class System:
         poses: the essential-graph correction rotated/translated keyframes,
         so stored velocities are stale in the welded frame.
         """
+        self._mark_frame_ref_dirty()
         n_kf = int(self.map.n_kf)
         n_int = len(self.kf_preints)
         W = min(n_int + 1, n_kf, max_kfs)
@@ -1698,6 +1987,7 @@ class System:
     def _refine_scale(self):
         """Inertial-only re-estimation of residual scale/gravity over the
         recent window; applies the correction when meaningful."""
+        self._mark_frame_ref_dirty()
         win = self._inertial_window(self.SCALE_REFINE_MAX_INT)
         if win is None:
             return
@@ -1737,6 +2027,7 @@ class System:
         """Joint visual-inertial BA over the sliding keyframe window
         (upstream LocalInertialBA): reprojection + preintegration factors,
         velocities/biases refined online, gravity held fixed."""
+        self._mark_frame_ref_dirty()
         W = self.VI_LOCAL_WINDOW
         n_kf = int(self.map.n_kf)
         n_int = len(self.kf_preints)
@@ -1804,6 +2095,7 @@ class System:
     def _run_vi_init(self):
         """VIBA1: inertial-only optimization with visual poses fixed, then
         upgrade the map with the recovered scale + gravity rotation."""
+        self._mark_frame_ref_dirty()
         win = self._inertial_window()
         if win is None:
             return
@@ -1887,6 +2179,7 @@ class System:
         old map directly — no junk intermediate map); brute-force projection
         match as fallback; after LOST_FRAMES_NEW_MAP failures the Atlas
         spawns a new map."""
+        self._mark_frame_ref_dirty()
         # candidate keyframe poses to try: BoW top hits + last known pose
         tries = [(self.Tcw[:3, :3], self.Tcw[:3, 3], 80.0)]
         n_kf = int(self.map.n_kf)
@@ -2008,6 +2301,7 @@ class System:
         self.last_loop_kf = -10**9
 
     def _spawn_state_reset(self):
+        self._mark_frame_ref_dirty()
         self.state = TrackingState.NOT_INITIALIZED
         self.Tcw = np.eye(4, dtype=np.float32)
         self.velocity = None

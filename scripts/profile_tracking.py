@@ -156,14 +156,19 @@ def main():
     # frontend pass (Pallas fused FAST+NMS+blur): read level (4 B) +
     # write score f32 + keep bool + blurred f32 per pixel; plus the grid
     # top-k select reading the score map again, plus patch gather/describe
-    P = 37 * 37  # descriptor patch pixels (raw + blurred gathered together)
     bins = 32
-    describe_flops = 2 * n_feat * P * 256
+    P = 31 * 31  # descriptor patch pixels
+    canvas = int(A_all * 1.35)  # packed canvas incl. inter-level gaps and
+    # full-W0 rows for small levels (ops/pallas_kernels.pack_layout)
+    describe_flops = 2 * n_feat * P * bins * 256  # all-bin tau-diff matmul
     extract_extra = dict(
-        bytes=(13 * A_all              # fused band kernel r/w
-               + 4 * A_all             # grid select re-reads scores
-               + n_feat * 2 * P * 4    # patch gathers
-               + bins * P * 256 * 4    # BRIEF weight matrix (one read)
+        bytes=(4 * (3 + 4) * canvas    # packed kernel: 3 halo'd reads +
+                                       # score/keep/blur/raw writes
+               + 4 * 2 * canvas        # grid select re-reads score+keep
+               + 2 * 2 * canvas        # bf16 casts of raw+blur canvases
+               + n_feat * 31 * 2 * 256 * 2 * 2  # block gather, 2 imgs bf16
+               + bins * P * 256 * 2    # bf16 BRIEF tau-diff weights
+               + n_feat * bins * 256 * 4  # all-bin values intermediate
                ),
         flops=30 * A_all + describe_flops, kind="f32")
     est["extract"] = dict(
@@ -288,10 +293,14 @@ def _ba_roofline():
         out = f(problem)
         jax.block_until_ready(out.R)
         best = float("inf")
-        for _ in range(N_REPS):
+        for i in range(N_REPS):
+            # fresh input each rep: the remote-relay runtime caches results
+            # for identical (program, input) pairs, which fakes ~0 times
+            p2 = problem._replace(t=problem.t + 1e-6 * (i + 1))
+            jax.block_until_ready(p2.t)
             t0_ = time.perf_counter()
-            out = f(problem)
-            jax.block_until_ready(out.R)
+            out = f(p2)
+            _ = float(out.cost)  # forced fetch: relay block can no-op
             best = min(best, time.perf_counter() - t0_)
         times[n_iters] = best
     dt_iter = (times[30] - times[10]) / 20.0

@@ -31,6 +31,17 @@ def main():
     ap.add_argument("--max-frames", type=int, default=60)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--hierarchical", action="store_true",
+                    help="train a k-ary tree (DBoW2-style) instead of a "
+                         "flat codebook")
+    ap.add_argument("--branching", type=int, default=10)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--scenes", type=int, default=8,
+                    help="synthetic mode: distinct rendered scenes to pool "
+                         "descriptors from (hierarchical training wants "
+                         ">> k^depth descriptors)")
+    ap.add_argument("--export-dbow2-txt", default=None,
+                    help="also write the trained tree in DBoW2 text format")
     args = ap.parse_args()
 
     from orb_slam3_ros2_tpu.frontend import extractor as ex
@@ -49,12 +60,15 @@ def main():
     if args.synthetic:
         from orb_slam3_ros2_tpu.io import synthetic
 
-        images, _, _, _ = synthetic.render_sequence(
-            n_frames=args.max_frames, width=s.camera.width,
-            height=s.camera.height, fx=s.camera.fx, fy=s.camera.fy,
-            fps=s.fps, seed=3, traj_scale=1.6,
-        )
-        frames = list(images)
+        frames = []
+        n_scenes = max(args.scenes, 1) if args.hierarchical else 1
+        for sc in range(n_scenes):
+            images, _, _, _ = synthetic.render_sequence(
+                n_frames=args.max_frames, width=s.camera.width,
+                height=s.camera.height, fx=s.camera.fx, fy=s.camera.fy,
+                fps=s.fps, seed=3 + 17 * sc, traj_scale=1.6,
+            )
+            frames.extend(list(images))
     else:
         if not args.dataset:
             ap.error("--dataset or --synthetic required")
@@ -71,8 +85,18 @@ def main():
     signs = np.concatenate(all_signs)
     print(f"training on {signs.shape[0]} descriptors "
           f"from {len(frames)} frames", file=sys.stderr)
-    A = vocab_mod.train_vocabulary(signs, iters=args.iters)
-    path = vocab_mod.save_vocabulary(args.out, A)
+    if args.hierarchical:
+        from orb_slam3_ros2_tpu.loop import hvocab as hv
+
+        tree = hv.train_hierarchical(signs, k=args.branching,
+                                     depth=args.depth, iters=args.iters)
+        path = hv.save_hvocab(args.out, tree)
+        if args.export_dbow2_txt:
+            hv.export_dbow2_text(tree, args.export_dbow2_txt)
+            print(args.export_dbow2_txt, file=sys.stderr)
+    else:
+        A = vocab_mod.train_vocabulary(signs, iters=args.iters)
+        path = vocab_mod.save_vocabulary(args.out, A)
     print(path)
     return 0
 
