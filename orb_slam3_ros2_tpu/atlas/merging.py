@@ -98,9 +98,13 @@ def detect_cross_map(
     if mask.sum() < min_inliers:
         return None
 
-    # x_active = s R x_old + t
+    # x_active = s R x_old + t  (solve_sim3 maps its SECOND point set onto
+    # its first: x1 = s R x2 + t — r4 fix: the arguments were swapped, so
+    # the raw 3D-3D candidate came back INVERTED (s -> 1/s, R -> R^T); the
+    # downstream PnP refinement converged from the bad seed anyway, which
+    # masked it in every refined path)
     res = sim3_mod.solve_sim3(
-        key, jnp.asarray(pb), jnp.asarray(pa), jnp.asarray(mask),
+        key, jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(mask),
         fix_scale=fix_scale, min_inliers=min_inliers,
     )
     if not bool(res.ok):

@@ -36,6 +36,9 @@ class VIInitResult(NamedTuple):
     bg: jnp.ndarray  # (3,)
     ba: jnp.ndarray  # (3,)
     cost: jnp.ndarray  # () final whitened cost
+    scale_var: jnp.ndarray = jnp.asarray(0.0)  # posterior var of log s
+    # (from the GN Hessian at the optimum — the scale observability of
+    # THIS window; callers weight how much of the correction to apply)
 
 
 def _unpack(theta, K):
@@ -217,6 +220,14 @@ def vi_init(
     theta, costs = jax.lax.scan(gn_step, theta0, None, length=n_iters)
     log_s, th_g, v, bg, ba = _unpack(theta, K)
     r = residuals(theta)
+    # posterior variance of log s: [H^{-1}]_00 at the optimum (whitened
+    # residuals => unit-information Gauss-Markov), inflated by the reduced
+    # chi^2 so model-mismatch windows (bad visual poses) report themselves
+    J = jax.jacfwd(residuals)(theta)
+    H = J.T @ J + 1e-9 * jnp.eye(theta.shape[0])
+    var0 = jnp.linalg.inv(H)[0, 0]
+    dof = jnp.maximum(r.shape[0] - theta.shape[0], 1)
+    chi2_red = jnp.maximum(jnp.sum(r * r) / dof, 1.0)
     return VIInitResult(
         scale=jnp.where(fix_scale, 1.0, jnp.exp(log_s)),
         R_wg=lie.so3_exp(jnp.concatenate([th_g, jnp.zeros(1)])),
@@ -224,4 +235,5 @@ def vi_init(
         bg=bg,
         ba=ba,
         cost=jnp.sum(r * r),
+        scale_var=var0 * chi2_red,
     )

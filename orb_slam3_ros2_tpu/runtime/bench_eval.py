@@ -70,6 +70,91 @@ def _write_settings(tmpdir, width, height, fx, fy, fps, baseline,
     return path
 
 
+def run_fisheye_stereo_case(case: dict) -> dict:
+    """KB8 fisheye stereo row (the TUM-VI stereo configuration shape,
+    `/root/reference/config/Stereo/TUM-VI.yaml:8,17-32`): rendered through
+    the same KannalaBrandt8 model the engine undistorts with, tracked via
+    the general two-view rig, scored on ATE + unaligned metric scale."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "tests"))
+    import test_e2e_fisheye as fe
+
+    from orb_slam3_ros2_tpu.io import synthetic
+    from orb_slam3_ros2_tpu.runtime.system import Sensor, System
+
+    n = case.get("n_frames", 36)
+    baseline = 0.11
+    images, images_r, R_gt, t_gt, ts = synthetic.render_room_sequence_kb8(
+        n_frames=n, cam=fe._cam(), fps=10.0, seed=case.get("seed", 4),
+        traj_scale=0.8, noise_dn=2.0, stereo_baseline=baseline)
+    t0 = time.perf_counter()
+    with tempfile.TemporaryDirectory() as td:
+        sys_ = System(None, fe._settings_file(td, baseline=baseline),
+                      Sensor.STEREO)
+        for k in range(n):
+            sys_.track_stereo(images[k], images_r[k], float(ts[k]))
+        est, gt = fe._ate(sys_, R_gt, t_gt)
+    wall = time.perf_counter() - t0
+    ate = synthetic.ate_rmse(est, gt)
+    len_est = float(np.linalg.norm(np.diff(est, axis=0), axis=1).sum())
+    len_gt = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
+    return {"sequence": case["name"], "mode": "fisheye_stereo(KB8)",
+            "ate_rmse_m": round(float(ate), 4), "kf_ate_rmse_m": None,
+            "tracked_frames": int(len(est)), "frames": int(n),
+            "wall_s": round(wall, 1), "fps": round(n / wall, 1),
+            "scale_err_pct": round(100 * abs(len_est - len_gt)
+                                   / max(len_gt, 1e-9), 1),
+            "status": "ok"}
+
+
+def run_loop_closure_case(case: dict) -> dict:
+    """Loop-closure-heavy long sequence: a strictly periodic revisit
+    trajectory through the hard-rendered room with loop closing ON —
+    measures that closures fire and that the closed map's ATE holds."""
+    from orb_slam3_ros2_tpu.io import synthetic
+    from orb_slam3_ros2_tpu.runtime.system import Sensor, System
+
+    n = case.get("n_frames", 160)
+    period = 4.0
+    fps = 10.0
+    traj = synthetic.Trajectory(
+        amp_t=np.array([1.2, 0.7, 0.9]),
+        freq_t=np.array([1, 2, 1]) / period,
+        amp_r=np.array([0.12, 0.18, 0.08]),
+        freq_r=np.array([2, 1, 1]) / period,
+    )
+    images, R_gt, t_gt, ts = synthetic.render_room_sequence(
+        n_frames=n, width=case.get("width", 640),
+        height=case.get("height", 480), fx=450.0, fy=450.0, fps=fps,
+        seed=case.get("seed", 3), traj=traj)
+    t0 = time.perf_counter()
+    with tempfile.TemporaryDirectory() as td:
+        settings = _write_settings(td, case.get("width", 640),
+                                   case.get("height", 480), 450.0, 450.0,
+                                   fps, 0.0)
+        sys_ = System(None, settings, Sensor.MONOCULAR)
+        for k in range(n):
+            sys_.track_monocular(images[k], float(ts[k]))
+        wall = time.perf_counter() - t0
+        est, gt = [], []
+        for k, (t, T) in enumerate(sys_.get_frame_trajectory()):
+            if sys_.tracking_log[k]["state"] != 1:
+                continue
+            est.append(-T[:3, :3].T @ T[:3, 3])
+            gt.append(-R_gt[k].T @ t_gt[k])
+        est, gt = np.asarray(est), np.asarray(gt)
+        n_loops = sys_.n_loops_closed
+    return {"sequence": case["name"], "mode": "mono+loop",
+            "ate_rmse_m": round(float(synthetic.ate_rmse(est, gt)), 4),
+            "kf_ate_rmse_m": None,
+            "tracked_frames": int(len(est)), "frames": int(n),
+            "wall_s": round(wall, 1), "fps": round(n / wall, 1),
+            "loops_closed": int(n_loops), "status": "ok"}
+
+
 def run_synthetic_case(case: dict) -> dict:
     """Run one synthetic benchmark case end to end and return the ATE row.
 

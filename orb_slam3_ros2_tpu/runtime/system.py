@@ -572,6 +572,8 @@ class System:
         self._v_pred: Optional[np.ndarray] = None
         self.last_frame_feats = None
         self.scale_applied = 1.0
+        self._scale_stable_count = 0  # consecutive converged refinements
+        self._n_scale_refines = 0
         # loop closing
         self.n_loops_closed = 0
         self.n_maps_merged = 0
@@ -1283,7 +1285,22 @@ class System:
             n_kf = int(self.map.n_kf)
         if n_kf >= self.map_cfg.max_kf - 1:
             return False
-        max_gap = max(int(self.cam.fps) // 2, 5)
+        # keyframe cadence is SENSOR-dependent. Monocular modes use the
+        # aggressive upstream stance (~3 KF/s; "insert keyframes as often
+        # as possible, cull later"): measured on the hard-rendered suite,
+        # the sparser fps//2 cadence left inter-KF rotations drifting up
+        # to 2 deg/interval on unlucky scenes (seed-dependent 10x ATE
+        # spread and failed VI inits), while the dense cadence brings the
+        # worst seed's keyframe rotation error under 0.2 deg. Rig-depth
+        # modes (stereo/RGBD) keep fps//2: their landmarks carry metric
+        # depth per frame, extra keyframes only multiply depth-noise
+        # landmark spawns (measured: KB8 fisheye stereo ATE 0.046 -> 0.20
+        # at the dense cadence).
+        dense = self.sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR)
+        if dense:
+            max_gap = max(int(self.cam.fps) // 3, 3)
+        else:
+            max_gap = max(int(self.cam.fps) // 2, 5)
         if self.frames_since_kf >= max_gap:
             return True
         if self.frames_since_kf < self.KF_MIN_GAP:
@@ -1374,7 +1391,23 @@ class System:
                     and len(self.kf_preints) >= self.VI_INIT_KFS - 1):
                 self._run_vi_init()
             elif (self.imu_initialized
-                    and len(self.kf_preints) in self.SCALE_REFINE_AT):
+                    and len(self.kf_preints) in self.FULL_VIBA_AT):
+                # joint visual-inertial BA over the whole recent map
+                # (upstream FullInertialBA at the staged init times):
+                # reconciles map geometry with the IMU where inertial-only
+                # scale refinement can only rescale rigidly
+                self._run_inertial_gba(max_kfs=48, n_iters=8,
+                                       opt_gravity=True)
+            elif (self.imu_initialized
+                    and ((self._scale_stable_count < 2
+                          and self._n_scale_refines < 12
+                          and len(self.kf_preints) % 2 == 0)
+                         or len(self.kf_preints) in self.SCALE_REFINE_AT)):
+                # refine at EVERY keyframe until two consecutive estimates
+                # agree (upstream refines scale every few seconds until the
+                # observability converges), then fall back to the sparse
+                # schedule — kills the run-to-run scale variance a single
+                # fixed-schedule refinement leaves behind
                 self._refine_scale()
         if self.settings.loop_closing:
             with self.tracer.stage("loop_closing"):
@@ -1741,7 +1774,8 @@ class System:
             n_iters=n_iters,
         )
 
-    def _run_inertial_gba(self, max_kfs: int = 64, n_iters: int = 10):
+    def _run_inertial_gba(self, max_kfs: int = 64, n_iters: int = 10,
+                          opt_gravity: bool = False):
         """Full inertial BA after a loop correction (upstream
         LoopClosing::RunGlobalBundleAdjustment → FullInertialBA when the IMU
         is initialized [upstream]). Optimizes the trailing consecutive-KF
@@ -1779,7 +1813,7 @@ class System:
             pres, jnp.asarray(np.stack(v0)),
             jnp.asarray(self.bg, jnp.float32),
             jnp.asarray(self.ba, jnp.float32),
-            opt_gravity=False, n_iters=n_iters,
+            opt_gravity=opt_gravity, n_iters=n_iters,
         )
         if not np.isfinite(float(cost)):
             return
@@ -1957,6 +1991,13 @@ class System:
         n_int = len(self.kf_preints)
         if max_int is not None and n_int > max_int:
             n_int = max_int
+        # bucket the window length so repeated (e.g. convergence-driven)
+        # refinements reuse a handful of compiled shapes instead of one
+        # compile per distinct size
+        for b in (24, 16, 12, 8):
+            if n_int >= b:
+                n_int = b
+                break
         k0 = n_kf - (n_int + 1)
         if k0 < 0 or n_int < 2:
             return None
@@ -1982,12 +2023,14 @@ class System:
     # scale refinements around 5 s / 15 s [upstream]); we trigger on interval
     # counts to keep jit recompiles bounded.
     SCALE_REFINE_AT = (8, 12, 16, 24, 32, 48, 64)
+    FULL_VIBA_AT = (11, 21)  # full joint VIBA (FullInertialBA) schedule
     SCALE_REFINE_MAX_INT = 24
 
     def _refine_scale(self):
         """Inertial-only re-estimation of residual scale/gravity over the
-        recent window; applies the correction when meaningful."""
+        recent window; applies the correction (damped) when meaningful."""
         self._mark_frame_ref_dirty()
+        self._n_scale_refines += 1
         win = self._inertial_window(self.SCALE_REFINE_MAX_INT)
         if win is None:
             return
@@ -2003,11 +2046,39 @@ class System:
         )
         s = float(out.scale)
         if not (0.2 < s < 5.0) or not np.isfinite(s):
+            self._scale_stable_count = 0
             return
-        thg = np.asarray(lie.so3_log(out.R_wg))
+        if abs(s - 1.0) < 0.02:
+            self._scale_stable_count += 1
+        else:
+            self._scale_stable_count = 0
+        # observability-weighted application: each window reports the
+        # posterior std of its log-scale estimate (vi_init.scale_var, from
+        # the GN Hessian, chi^2-inflated when the visual poses disagree
+        # with the IMU). Confident windows apply (nearly) the full
+        # correction; noisy/ill-conditioned windows apply almost none —
+        # full steps from noisy windows random-walked the map scale
+        # (2.8% -> 21.5% measured), while uniform damping starved the
+        # windows that genuinely saw a wrong scale.
+        sigma = float(np.sqrt(max(float(out.scale_var), 0.0)))
+        gain = 1.0 / (1.0 + (sigma / 0.03) ** 2)
+        if gain < 0.25:
+            # low-confidence window: applying a mostly-noise Sim3 to the
+            # whole map disturbs tracking more than it fixes scale — skip
+            # (the convergence loop will try again on a better window)
+            return
+        # cap the per-step correction: a single large Sim3 applied to the
+        # live map mid-run disturbs tracking more than scale error does —
+        # big corrections converge over a few capped steps instead
+        dlog = float(np.clip(gain * np.log(s), -0.1, 0.1))
+        s = float(np.exp(dlog))
+        thg = gain * np.asarray(lie.so3_log(out.R_wg))
+        nrm = float(np.linalg.norm(thg))
+        if nrm > 0.05:
+            thg = thg * (0.05 / nrm)
         if abs(s - 1.0) < 0.01 and np.linalg.norm(thg) < 5e-3:
             return
-        R_wg = np.asarray(out.R_wg)
+        R_wg = np.asarray(lie.so3_exp(jnp.asarray(thg, jnp.float32)))
         self.map = self._apply_sim3(
             self.map, jnp.asarray(R_wg.T, jnp.float32),
             jnp.asarray(s, jnp.float32),
@@ -2109,6 +2180,18 @@ class System:
         s = float(out.scale)
         if not (0.05 < s < 50.0) or not np.isfinite(s):
             return
+        # observability gate (mono only): don't upgrade the map on a
+        # window whose log-scale posterior std says the estimate is
+        # unreliable (either genuinely unobservable motion, or
+        # chi^2-inflated by visual poses that disagree with the IMU —
+        # initializing on those bakes a wrong scale in); attempts continue
+        # at each new keyframe. With fix_scale (stereo/RGBD-inertial) the
+        # log-s coordinate is unconstrained by construction, so its
+        # variance is meaningless — skip the gate.
+        fixed_scale = self.sensor in (Sensor.IMU_STEREO, Sensor.IMU_RGBD)
+        if (not fixed_scale
+                and float(np.sqrt(max(float(out.scale_var), 0.0))) > 0.3):
+            return
         R_wg = np.asarray(out.R_wg)
         # align gravity to world -z and rescale map to metric units
         self.map = self._apply_sim3(
@@ -2125,6 +2208,7 @@ class System:
         self.scale_applied = s
         self.imu_initialized = True
         self.inertial_ba1 = True
+        self._scale_stable_count = 0  # start the convergence-driven refine
 
         # VIBA2: joint visual-inertial refinement over the init window
         # (upstream FullInertialBA; the fork gates it via GetInertialBA2,

@@ -159,6 +159,8 @@ def main():
     ap.add_argument("--ba-landmarks", type=int, default=16384)
     ap.add_argument("--ba-iters", type=int, default=10)
     ap.add_argument("--engine-sessions", type=int, default=0)
+    ap.add_argument("--out", default=None,
+                    help="also write the report JSON (MULTISESSION.json)")
     args = ap.parse_args()
 
     import jax
@@ -285,6 +287,9 @@ def main():
             "atlas_maps": maps,
         }
 
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
     return 0
 

@@ -1,0 +1,86 @@
+"""Continuously-operating distributed session: 4 processes x 2 devices.
+
+r3 verdict item 4 ("turn the distributed session into an operating mode"):
+this drives `parallel/live_session.py` end to end — per-host tracking with
+periodic keyframe-delta exchange, BoW-indexed incremental welds DURING
+tracking, block residency (a host never stores peer landmarks), and the
+edge-sharded global pose graph + per-block BA at the end — and asserts:
+
+* the weld fires MID-RUN (weld frame << last frame) and tracking
+  continues after it,
+* all 4 hosts become alignment-connected,
+* per-host landmark residency stays ~1/N of the fleet total,
+* every process reports the IDENTICAL refined global trajectory
+  (deterministic finalize), with a sane cross-host keyframe ATE.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_live_session_4_hosts(tmp_path):
+    out_json = str(tmp_path / "live.json")
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    procs = []
+    for pid in range(4):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m",
+             "orb_slam3_ros2_tpu.parallel.live_session",
+             "--process-id", str(pid), "--num-processes", "4",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--out", out_json, "--local-devices", "2",
+             "--n-frames", "100"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("live session timed out")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{err[-3000:]}"
+
+    reports = []
+    for rc, out, err in outs:
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        reports.append(json.loads(line))
+
+    total_lm = sum(r["n_lm_local"] for r in reports)
+    for r in reports:
+        # weld found while tracking continued (not an end-of-run event)
+        assert r["n_edges"] >= 1
+        assert min(r["weld_frames"]) <= r["frames_tracked"] - 5, r
+        # all hosts connected into one alignment component
+        assert r["n_connected_hosts"] == 4
+        # block residency: no host holds anywhere near the fleet total
+        assert r["n_lm_local"] <= 0.5 * total_lm
+        # deterministic finalize: identical global result everywhere
+        assert r["global_kf_ate_m"] == reports[0]["global_kf_ate_m"]
+    # cross-host consistency of the refined global trajectory (mono world,
+    # Sim3-aligned): the welds + pose graph must bring 4 independently
+    # tracked segments into one frame
+    assert reports[0]["global_kf_ate_m"] < 0.35, reports[0]

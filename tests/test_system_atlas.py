@@ -103,7 +103,7 @@ def test_loaded_map_never_discarded_on_loss(rendered, tmp_path):
     upstream Atlas keeps loaded maps as non-active maps."""
     images, R_gt, t_gt, ts = rendered
     sys_ = System(None, SETTINGS, Sensor.MONOCULAR)
-    _run(sys_, images, ts, n=22)
+    _run(sys_, images, ts, n=14)  # short clip: map stays below threshold
     n_kf = int(sys_.map.n_kf)
     assert 1 <= n_kf < sys_.MIN_KFS_KEEP_MAP  # small map, below threshold
     path = str(tmp_path / "small_atlas.npz")
