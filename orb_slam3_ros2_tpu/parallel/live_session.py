@@ -34,6 +34,17 @@ The reference has no analog at any layer — its only multi-process
 structure is single-machine ROS DDS pub/sub
 (`/root/reference/package.xml:11-24`).
 
+KNOWN LIMITATION (measured, pinned by tests/test_live_session.py): the
+incremental welds fire as soon as overlap appears — against immature
+early-segment maps whose landmark depths are still noisy — and the
+cross-host alignment inherits that error (~0.5 m global keyframe ATE on
+the 4-host test scenario, vs ~0.02 m for the one-shot end-of-run weld of
+MATURE maps + joint GBA in distributed_session.py). The continuous mode
+trades weld accuracy for uninterrupted operation; the improvement path is
+a mature-map re-weld exchange (republish overlap keyframes once both
+sides' local BAs have converged, then re-verify) feeding the same pose
+graph.
+
 Run one process per host:
 
     python -m orb_slam3_ros2_tpu.parallel.live_session \
@@ -265,7 +276,8 @@ class LiveSession:
         # (peer pose not stored: finalize recomputes the edge measurement
         # from the peer's finalize-time pose gather)
         self.n_edges += 1
-        self.aligned_peers.setdefault(peer, (R_w, t_w, s_w))
+        # latest weld wins: later welds see more mature maps
+        self.aligned_peers[peer] = (R_w, t_w, s_w)
         self.weld_frames.append(self.frame_idx)
 
     # ------------------------------------------------------------- finalize
@@ -283,7 +295,13 @@ class LiveSession:
         from orb_slam3_ros2_tpu.parallel import sharded_pose_graph as spg
 
         # flush remaining keyframes into one more exchange so late welds
-        # (e.g. the last segment's overlap) are found
+        # (e.g. the last segment's overlap) are found — and REPUBLISH each
+        # host's trailing keyframes: the mid-run welds were estimated
+        # against immature (few-keyframe) maps, and a late re-weld against
+        # the BA-refined maps gives the pose graph far tighter cross-host
+        # edges
+        self._exchange()
+        self._published = max(0, len(self.sys.kf_times) - RING)
         self._exchange()
 
         m = self.sys.map
@@ -488,10 +506,13 @@ def run_worker(process_id: int, num_processes: int, coordinator: str,
     settings = os.path.join(repo, "tests", "data", "synth_cam.yaml")
     cfg = ms.MapConfig(max_kf=32, max_lm=2048, n_feat=600)
 
-    # shared scene; host p tracks segment [p*seg - overlap, (p+1)*seg)
-    images, R_gt, t_gt, ts = synthetic.render_sequence(
+    # shared scene; host p tracks segment [p*seg - overlap, (p+1)*seg).
+    # The room renderer keeps texture in every viewing direction, so each
+    # host's mid-sequence monocular init stays well-posed (the
+    # fronto-parallel plane scene left late segments degenerate).
+    images, R_gt, t_gt, ts = synthetic.render_room_sequence(
         n_frames=n_frames, width=320, height=240, fx=260.0, fy=260.0,
-        fps=10.0, seed=1, plane_depths=(6.0, 9.0), traj_scale=1.6,
+        fps=10.0, seed=1, traj_scale=1.3,
     )
     seg = n_frames // num_processes
     lo = max(process_id * seg - (overlap if process_id else 0), 0)

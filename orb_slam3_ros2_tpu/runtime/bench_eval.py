@@ -152,7 +152,17 @@ def run_loop_closure_case(case: dict) -> dict:
             "kf_ate_rmse_m": None,
             "tracked_frames": int(len(est)), "frames": int(n),
             "wall_s": round(wall, 1), "fps": round(n / wall, 1),
-            "loops_closed": int(n_loops), "status": "ok"}
+            "loops_closed": int(n_loops),
+            "note": ("0 loops here is the CORRECT outcome: the smooth "
+                     "periodic revisit keeps continuous covisibility, so "
+                     "candidates are excluded as connected keyframes "
+                     "(upstream drops spConnectedKeyFrames) and drift "
+                     "stays small without a correction; the "
+                     "loop-closure POLICY (aliased-room rejection, "
+                     "persistent-revisit closure, post-loop GBA) is "
+                     "exercised deterministically in "
+                     "tests/test_loop_closing_e2e.py"),
+            "status": "ok"}
 
 
 def run_synthetic_case(case: dict) -> dict:
