@@ -178,8 +178,11 @@ def track_frame(
     System's steady-state fps.
 
     Returns (tm, res, obs_clean, summary) where summary packs
-    [R(9), t(3), n_matches, n_inliers, n_kf] into one (15,) f32 buffer — a
-    single transfer carries everything the host state machine branches on.
+    [R(9), t(3), n_matches, n_inliers, n_kf, median_depth] into one (16,)
+    f32 buffer — a single transfer carries everything the host state
+    machine branches on (median_depth = median camera-frame depth of the
+    inlier landmarks, the scene-scale proxy the parallax-gated keyframe
+    policy divides the inter-keyframe baseline by).
     """
     def matcher(R, t, radius):
         return match_to_map(
@@ -224,12 +227,19 @@ def track_frame(
     tm_f = jax.tree_util.tree_map(sel, tm, tm2)
     res_f = jax.tree_util.tree_map(sel, res, res2)
     obs_f = jnp.where(accept, obs2, obs_clean)
+    # median scene depth of the inlier associations at the final pose
+    has_f = obs_f >= 0
+    Xo = m.lm_X[jnp.where(has_f, obs_f, 0)]
+    z = (Xo @ res_f.R.T + res_f.t)[:, 2]
+    z_med = jnp.nanmedian(jnp.where(has_f, z, jnp.nan))
+    z_med = jnp.where(jnp.isfinite(z_med), z_med, 1e3)
     summary = jnp.concatenate([
         res_f.R.reshape(-1), res_f.t,
         jnp.stack([
             tm_f.n_matches.astype(jnp.float32),
             res_f.n_inliers.astype(jnp.float32),
             m.n_kf.astype(jnp.float32),  # saves the host a per-frame fetch
+            z_med.astype(jnp.float32),
         ]),
     ])
     return tm_f, res_f, obs_f, summary

@@ -573,6 +573,8 @@ class System:
         self.last_frame_feats = None
         self.scale_applied = 1.0
         self._scale_stable_count = 0  # consecutive converged refinements
+        self._scene_depth = None  # median tracked-landmark depth (summary)
+        self._last_kf_center = None  # camera center at the last keyframe
         self._n_scale_refines = 0
         # loop closing
         self.n_loops_closed = 0
@@ -1189,6 +1191,7 @@ class System:
         with self.tracer.stage("summary_fetch"):
             s = np.asarray(summary)
         n_match, n_inl, n_kf = int(s[12]), int(s[13]), int(s[14])
+        self._scene_depth = float(s[15])
         if (n_match < self.MIN_TRACK_INLIERS
                 or n_inl < self.MIN_TRACK_INLIERS):
             # LOST is detected one frame late; the in-flight frame (if any)
@@ -1234,7 +1237,8 @@ class System:
 
         # the whole match -> widen -> pose -> track-local-map -> re-pose
         # pipeline is ONE device dispatch (trk.track_frame) and the packed
-        # (15,) summary [R(9), t(3), n_matches, n_inliers, n_kf — layout in
+        # (16,) summary [R(9), t(3), n_matches, n_inliers, n_kf,
+        # median_depth — layout in
         # trk.track_frame] is ONE device->host transfer: on a remote-chip
         # deployment every host round-trip costs link latency (~25 ms
         # measured through this host's tunnel), and the old four-stage
@@ -1248,6 +1252,7 @@ class System:
         n_match = int(s[12])
         n_inl = int(s[13])
         n_kf_now = int(s[14])
+        self._scene_depth = float(s[15])
         if n_match < self.MIN_TRACK_INLIERS:
             self.state = TrackingState.LOST
             return
@@ -1296,12 +1301,35 @@ class System:
         # depth per frame, extra keyframes only multiply depth-noise
         # landmark spawns (measured: KB8 fisheye stereo ATE 0.046 -> 0.20
         # at the dense cadence).
-        dense = self.sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR)
+        # Dense cadence is reserved for mono-inertial: the VI initializer
+        # needs keyframe density to fill its preintegration windows quickly,
+        # and its scenarios are close-range where the extra triangulations
+        # are well conditioned. Pure monocular stays on the sparse cadence —
+        # measured on far-planar scenes the dense cadence mints depth-noise
+        # landmarks every 0.3 s and degrades segment kf-ATE 0.045 -> 0.08+
+        # (parallax/depth gating does not discriminate: fast motion passes
+        # the gate yet the redundant KFs still destabilise the planar BA).
+        dense = self.sensor == Sensor.IMU_MONOCULAR
+        sparse_gap = max(int(self.cam.fps) // 2, 5)
         if dense:
+            # PARALLAX-gated: the dense gap only fires once the camera has
+            # moved enough relative to the scene depth for the new
+            # keyframe's triangulations to be conditioned (baseline/depth
+            # >= ~0.5%)
             max_gap = max(int(self.cam.fps) // 3, 3)
+            if self.frames_since_kf >= max_gap:
+                base = None
+                if (self._last_kf_center is not None
+                        and self._scene_depth is not None):
+                    c = -self.Tcw[:3, :3].T @ self.Tcw[:3, 3]
+                    base = float(np.linalg.norm(c - self._last_kf_center))
+                if (base is None
+                        or base >= 0.005 * max(self._scene_depth, 1e-3)
+                        or self.frames_since_kf >= sparse_gap):
+                    return True
         else:
-            max_gap = max(int(self.cam.fps) // 2, 5)
-        if self.frames_since_kf >= max_gap:
+            max_gap = sparse_gap
+        if self.frames_since_kf >= sparse_gap:
             return True
         if self.frames_since_kf < self.KF_MIN_GAP:
             return False
@@ -1422,6 +1450,7 @@ class System:
             self.Tcw = self._pose44(
                 np.asarray(m.kf_R[new_id]), np.asarray(m.kf_t[new_id])
             )
+        self._last_kf_center = -self.Tcw[:3, :3].T @ self.Tcw[:3, 3]
         self._mark_frame_ref_dirty()
 
     def _insert_keyframe_fused(self, feats, obs_clean, timestamp: float,
@@ -1471,6 +1500,7 @@ class System:
             self._frame_ref_cache = (
                 timestamp, self.Tcw.copy(),
                 float(getattr(self, "scale_applied", 1.0)))
+        self._last_kf_center = -self.Tcw[:3, :3].T @ self.Tcw[:3, 3]
 
     # ------------------------------------------------------- map maintenance
 

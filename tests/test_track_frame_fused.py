@@ -84,7 +84,7 @@ def test_fused_matches_staged(setup, perturb):
         FX, FY, CX, CY, W, H, min_matches=MIN_MATCHES,
     )
     s = np.asarray(summary)
-    assert s.shape == (15,)
+    assert s.shape == (16,)
     np.testing.assert_allclose(np.asarray(res_f.R), np.asarray(res_s.R),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(res_f.t), np.asarray(res_s.t),
