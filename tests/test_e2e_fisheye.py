@@ -128,13 +128,14 @@ def test_e2e_fisheye_stereo_metric_scale():
         assert len(est) >= n - 8
         ate = synthetic.ate_rmse(est, gt)
         assert ate < 0.10, ate
-        # metric scale WITHOUT alignment: trajectory length ratio. The
-        # bound is loose (30%): on this tiny 320x240 fisheye rig the
-        # edge-compressed disparities bias triangulated depths, and the
-        # shortfall is baseline-INDEPENDENT (measured identical at
-        # b=0.11 and b=0.2), i.e. a rendering/quantization bias, not a
-        # missing metric anchor — a mono run has no anchor at all.
+        # metric scale WITHOUT alignment: trajectory length ratio.
+        # Measured 4.6% on this scenario; the residual bias is
+        # rendering/quantization, not the camera model: the KB8
+        # project/unproject round trip is exact to 0.026 deg at the
+        # image edge, the shortfall is baseline-INDEPENDENT (identical
+        # at b=0.11 and b=0.2), and it HALVES when the same scene is
+        # rendered at 2x resolution (4.6% @ 320x240 -> 2.2% @ 640x480).
         len_est = np.linalg.norm(np.diff(est, axis=0), axis=1).sum()
         len_gt = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
         assert len_gt > 0.2
-        assert abs(len_est - len_gt) / len_gt < 0.3, (len_est, len_gt)
+        assert abs(len_est - len_gt) / len_gt < 0.10, (len_est, len_gt)
