@@ -59,26 +59,6 @@ class SchurTerms(NamedTuple):
     cost0: jnp.ndarray  # () robust cost at the linearization point
 
 
-def robust_weights(proj, w_active):
-    """(ww, cost): IRLS weights with Huber + cheirality, and robust cost.
-
-    Kept for the staged/legacy callers (vi_ba); the lanes-major path below
-    inlines the same math on (K, L) planes."""
-    r2 = jnp.sum(proj.r ** 2, axis=-1) * w_active
-    hw = res.huber_weight(r2, jnp.sqrt(HUBER_2))
-    ww = w_active * hw * (proj.depth > 0.05)
-    cost = jnp.sum(
-        jnp.where(
-            r2 <= HUBER_2,
-            r2,
-            2.0 * jnp.sqrt(HUBER_2) * jnp.sqrt(jnp.maximum(r2, 1e-12))
-            - HUBER_2,
-        )
-        * (w_active > 0)
-    )
-    return ww, cost
-
-
 _CHOL_PIVOT_FLOOR = 1e-6  # min normalized pivot (modified Cholesky)
 
 

@@ -36,7 +36,10 @@ class VIInitResult(NamedTuple):
     bg: jnp.ndarray  # (3,)
     ba: jnp.ndarray  # (3,)
     cost: jnp.ndarray  # () final whitened cost
-    scale_var: jnp.ndarray = jnp.asarray(0.0)  # posterior var of log s
+    # host float default: a module-level jnp array would initialize the JAX
+    # backend at import time (the remote-relay import hazard backend/ba.py:34
+    # documents); vi_init always fills this with a traced value anyway
+    scale_var: jnp.ndarray | float = 0.0  # posterior var of log s
     # (from the GN Hessian at the optimum — the scale observability of
     # THIS window; callers weight how much of the correction to apply)
 

@@ -103,9 +103,15 @@ def load_vocabulary_any(path: str):
     then assigns words by tree walk, the scalable path for ≥10⁴ words)."""
     if path.endswith(".txt"):
         return load_dbow2_text(path)
-    probe = np.load(path if path.endswith(".npz") else path + ".npz")
-    if "k" in probe and "depth" in probe:
-        from orb_slam3_ros2_tpu.loop import hvocab as hv
+    # one np.load handle serves both the type probe and the actual load —
+    # trained trees grow with k^depth, so don't read the file twice
+    with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+        if "k" in z and "depth" in z:
+            from orb_slam3_ros2_tpu.loop import hvocab as hv
 
-        return hv.load_hvocab(path)
-    return vocab_mod.load_vocabulary(path)
+            k = int(z["k"])
+            depth = int(z["depth"])
+            levels = tuple(z[f"level{j}"].astype(np.float32)
+                           for j in range(depth))
+            return hv.HierVocab(levels=levels, k=k, depth=depth)
+        return z["anchors"].astype(np.float32)

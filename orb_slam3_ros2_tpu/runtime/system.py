@@ -1309,26 +1309,23 @@ class System:
         # landmarks every 0.3 s and degrades segment kf-ATE 0.045 -> 0.08+
         # (parallax/depth gating does not discriminate: fast motion passes
         # the gate yet the redundant KFs still destabilise the planar BA).
-        dense = self.sensor == Sensor.IMU_MONOCULAR
         sparse_gap = max(int(self.cam.fps) // 2, 5)
-        if dense:
-            # PARALLAX-gated: the dense gap only fires once the camera has
-            # moved enough relative to the scene depth for the new
-            # keyframe's triangulations to be conditioned (baseline/depth
-            # >= ~0.5%)
-            max_gap = max(int(self.cam.fps) // 3, 3)
-            if self.frames_since_kf >= max_gap:
+        if self.sensor == Sensor.IMU_MONOCULAR:
+            # PARALLAX-gated dense cadence: the dense gap only fires once
+            # the camera has moved enough relative to the scene depth for
+            # the new keyframe's triangulations to be conditioned
+            # (baseline/depth >= ~0.5%); the sparse gap below remains the
+            # unconditional fallback
+            dense_gap = max(int(self.cam.fps) // 3, 3)
+            if self.frames_since_kf >= dense_gap:
                 base = None
                 if (self._last_kf_center is not None
                         and self._scene_depth is not None):
                     c = -self.Tcw[:3, :3].T @ self.Tcw[:3, 3]
                     base = float(np.linalg.norm(c - self._last_kf_center))
                 if (base is None
-                        or base >= 0.005 * max(self._scene_depth, 1e-3)
-                        or self.frames_since_kf >= sparse_gap):
+                        or base >= 0.005 * max(self._scene_depth, 1e-3)):
                     return True
-        else:
-            max_gap = sparse_gap
         if self.frames_since_kf >= sparse_gap:
             return True
         if self.frames_since_kf < self.KF_MIN_GAP:
