@@ -152,8 +152,17 @@ def _triangulate(R, t, x1n, x2n):
     return Xh[:, :3] / jnp.where(jnp.abs(Xh[:, 3:]) < 1e-10, 1e-10, Xh[:, 3:])
 
 
-def _vet_motion(R, t, x1n, x2n, mask, fx, reproj_th_px: float = 4.0):
-    """Triangulate + count good points for one (R, t) candidate."""
+def _vet_motion(R, t, x1n, x2n, mask, fx, reproj_th_px: float = 4.0,
+                strong_parallax_cos: float = 0.9998):
+    """Triangulate + count good points for one (R, t) candidate.
+
+    Returns (X, good, n_strong): `n_strong` counts good points whose ray
+    parallax exceeds the STRONG threshold (~1.15 deg) — upstream CheckRT's
+    global acceptance statistic (the 50th-best parallax must clear
+    minParallax). Accepting an init whose points all sit near the weak
+    0.36 deg floor bakes 30-50% depth noise into the first map (measured:
+    the seed-2 hard-rendered room initialized at +/-40% internal depth
+    spread and never recovered — mono ATE 0.26 vs 0.02 on healthy seeds)."""
     X = _triangulate(R, t, x1n, x2n)
     z1 = X[:, 2]
     Xc2 = jnp.einsum("ij,nj->ni", R, X) + t
@@ -176,7 +185,8 @@ def _vet_motion(R, t, x1n, x2n, mask, fx, reproj_th_px: float = 4.0):
         (z1 > 0.0) & (z2 > 0.0) & (cos_par < 0.99998) & (err_px < reproj_th_px)
         & mask
     )
-    return X, good
+    n_strong = jnp.sum(good & (cos_par < strong_parallax_cos))
+    return X, good, n_strong
 
 
 def _motions_from_e(E):
@@ -255,6 +265,11 @@ def initialize(
     mask: jnp.ndarray,  # (N,) valid match
     fx: float, fy: float, cx: float, cy: float,
     min_good: int = 50,
+    # cos(1.15 deg) — slightly past upstream TwoViewReconstruction's
+    # 1.0-deg minParallax because OUR parallax statistic comes from the
+    # noisy triangulated points (noise pulls far points near, inflating
+    # apparent parallax); at exactly 1.0 deg a 0.4-deg-true-parallax init
+    # slips through (pinned by test_init_rejects_low_parallax_baseline)
     min_parallax_cos: float = 0.9998,
     h_ratio_th: float = 0.45,
 ) -> InitResult:
@@ -301,15 +316,20 @@ def initialize(
     from_h = jnp.concatenate([jnp.zeros(4, bool), jnp.ones(8, bool)])
     cand_ok = jnp.where(use_h, from_h, ~from_h)
 
-    Xs, goods = jax.vmap(lambda R, t: _vet_motion(R, t, x1n, x2n, mask, fx))(
-        Rs, ts
-    )
+    Xs, goods, n_strongs = jax.vmap(
+        lambda R, t: _vet_motion(
+            R, t, x1n, x2n, mask, fx,
+            strong_parallax_cos=min_parallax_cos)
+    )(Rs, ts)
     n_goods = goods.sum(-1) * cand_ok
     best = jnp.argmax(n_goods)
     n_best = n_goods[best]
-    # winner must clearly dominate (reference demands a unique winner)
+    # winner must clearly dominate (reference demands a unique winner) AND
+    # carry enough STRONG-parallax points that its depths are conditioned
+    # (upstream TwoViewReconstruction::ReconstructF/H parallax>minParallax)
     second = jnp.sort(n_goods)[-2]
-    ok = (n_best >= min_good) & (n_best > 1.35 * second)
+    ok = ((n_best >= min_good) & (n_best > 1.35 * second)
+          & (n_strongs[best] >= min_good))
 
     return InitResult(
         ok=ok,

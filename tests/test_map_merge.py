@@ -78,8 +78,12 @@ def test_merge_maps_transform_and_capacity():
 
 @pytest.mark.slow
 def test_lost_then_revisit_welds_maps():
+    # 36 frames (was 30): the initializer's global parallax gate delays
+    # init by a few frames on this clip; the first map must still reach
+    # MIN_KFS_KEEP_MAP keyframes or the loss path discards it instead of
+    # freezing it
     images, R_gt, t_gt, ts = synthetic.render_sequence(
-        n_frames=30, width=320, height=240, fx=260.0, fy=260.0,
+        n_frames=36, width=320, height=240, fx=260.0, fy=260.0,
         fps=10.0, seed=1, plane_depths=(6.0, 9.0), traj_scale=1.6,
     )
     sys_ = System(None, SETTINGS, Sensor.MONOCULAR)

@@ -20,8 +20,12 @@ SETTINGS = os.path.join(os.path.dirname(__file__), "data", "synth_cam.yaml")
 
 @pytest.fixture(scope="module")
 def rendered():
+    # 36 frames: the initializer's global parallax gate (upstream
+    # TwoViewReconstruction minParallax) delays init by a few frames on
+    # this slow-starting clip; the extra tail keeps the first map at the
+    # same keyframe count as before the gate
     return synthetic.render_sequence(
-        n_frames=30, width=320, height=240, fx=260.0, fy=260.0,
+        n_frames=36, width=320, height=240, fx=260.0, fy=260.0,
         fps=10.0, seed=1, plane_depths=(6.0, 9.0), traj_scale=1.6,
     )
 
