@@ -245,6 +245,10 @@ def _bench_system_fps_steady():
                  sys_.tracer._samples.get("mapping_fused", [])]
         n_kf = int(sys_.map.n_kf)
     steady = float(np.median(frame_s[n // 2:]))
+    # worst-case frame latency, not just median throughput (r4 verdict
+    # item 5): a live 30 FPS ingest drops or queues frames whenever a
+    # single frame exceeds its 33 ms budget — report the tail explicitly
+    tail = frame_s[n // 2:] * 1e3
     extra = {
         "config": "640x480 / 1250 feats / 8 levels (reference D435i "
                   "live config), pipelined mode",
@@ -254,10 +258,16 @@ def _bench_system_fps_steady():
         if kf_ms else None,
         "keyframes": n_kf,
         "blocking_turnarounds_per_frame": round(len(kf_ms) / n, 3),
+        "frame_ms_p50": round(float(np.percentile(tail, 50)), 2),
+        "frame_ms_p95": round(float(np.percentile(tail, 95)), 2),
+        "frame_ms_max": round(float(tail.max()), 2),
+        "frames_over_33ms": int((tail > 33.0).sum()),
+        "frames_measured": int(tail.size),
         "note": "per tracked frame the loop makes ONE non-blocking "
                 "dispatch; the only blocking turnarounds are the fused "
                 "keyframe-insertion summaries (count above), amortized "
-                "over the KF interval",
+                "over the KF interval; latency percentiles are over the "
+                "steady second half of the run",
     }
     return round(1.0 / max(steady, 1e-9), 1), extra
 

@@ -603,6 +603,25 @@ def make_imu(
     return t, gyro.astype(np.float64), acc.astype(np.float64)
 
 
+def umeyama_scale(t_est: np.ndarray, t_gt: np.ndarray) -> float:
+    """Sim3 Umeyama scale mapping est -> gt: the MOTION-WEIGHTED metric
+    scale of a trajectory. Unlike the per-chunk length-ratio statistic it
+    is dominated by the trajectory's actual spatial extent, so chunks with
+    near-zero groundtruth motion cannot blow it up (the KB8 fisheye row's
+    committed scale number swung 1.2-18% between identical reruns under
+    the length ratio — r4 verdict item 9)."""
+    est = np.asarray(t_est, np.float64)
+    gt = np.asarray(t_gt, np.float64)
+    e = est - est.mean(0)
+    g = gt - gt.mean(0)
+    U, D, Vt = np.linalg.svd(g.T @ e / len(e))
+    S = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        S[2, 2] = -1
+    var_e = (e * e).sum() / len(e)
+    return float(np.trace(np.diag(D) @ S) / max(var_e, 1e-12))
+
+
 def ate_rmse(t_est: np.ndarray, t_gt: np.ndarray, align: bool = True) -> float:
     """Absolute trajectory error RMSE after (optional) Sim3 Umeyama alignment.
 

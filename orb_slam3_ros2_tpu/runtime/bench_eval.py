@@ -114,69 +114,139 @@ def run_fisheye_stereo_case(case: dict) -> dict:
         est, gt = fe._ate(sys_, R_gt, t_gt)
     wall = time.perf_counter() - t0
     ate = synthetic.ate_rmse(est, gt)
-    len_est = float(np.linalg.norm(np.diff(est, axis=0), axis=1).sum())
-    len_gt = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
+    # motion-weighted metric-scale error: |1 - Umeyama Sim3 scale| — the
+    # r4-committed per-chunk length ratio swung 1.2-18% between identical
+    # reruns (near-zero-motion chunks dominated it); the Umeyama scale is
+    # dominated by the trajectory's spatial extent and is reproducible
+    s_uma = synthetic.umeyama_scale(est, gt)
     return {"sequence": case["name"], "mode": "fisheye_stereo(KB8 640x480)",
             "ate_rmse_m": round(float(ate), 4), "kf_ate_rmse_m": None,
             "tracked_frames": int(len(est)), "frames": int(n),
             "wall_s": round(wall, 1), "fps": round(n / wall, 1),
-            "scale_err_pct": round(100 * abs(len_est - len_gt)
-                                   / max(len_gt, 1e-9), 1),
+            "scale_err_pct": round(100 * abs(s_uma - 1.0), 1),
             "status": "ok"}
 
 
+class _WaypointTrajectory:
+    """Leave-and-return trajectory for the loop-closure case: smooth
+    interpolation through (time, position, yaw) waypoints. Unlike the
+    periodic sinusoids, the middle leg turns AWAY from the start region
+    (yaw sweep + translation across the room), so the revisit keyframes
+    share no covisibility with the early map — a genuine loop-closure
+    situation (upstream only excludes spConnectedKeyFrames), not a
+    smoothly co-visible return."""
+
+    def __init__(self, waypoints):
+        self.t_k = np.asarray([w[0] for w in waypoints], float)
+        self.p_k = np.asarray([w[1] for w in waypoints], float)
+        self.yaw_k = np.asarray([w[2] for w in waypoints], float)
+
+    @staticmethod
+    def _smooth(u):
+        return u * u * (3.0 - 2.0 * u)  # C1 smoothstep
+
+    def _interp(self, vals, t):
+        t = np.atleast_1d(np.asarray(t, float))
+        out = np.zeros(t.shape + vals.shape[1:])
+        idx = np.clip(np.searchsorted(self.t_k, t, side="right") - 1,
+                      0, len(self.t_k) - 2)
+        t0 = self.t_k[idx]
+        t1 = self.t_k[idx + 1]
+        u = self._smooth(np.clip((t - t0) / np.maximum(t1 - t0, 1e-9),
+                                 0.0, 1.0))
+        out = (1 - u)[..., None] * vals[idx] + u[..., None] * vals[idx + 1]
+        return out if vals.ndim > 1 else out[..., 0]
+
+    def position(self, t):
+        p = self._interp(self.p_k, t)
+        return p[0] if np.isscalar(t) else p
+
+    def pose_wb(self, t):
+        t = np.atleast_1d(np.asarray(t, float))
+        p = self._interp(self.p_k, t)
+        yaw = self._interp(self.yaw_k[:, None], t)[..., 0]
+        cz, sz = np.cos(yaw), np.sin(yaw)
+        R = np.zeros(t.shape + (3, 3))
+        R[..., 0, 0] = cz
+        R[..., 0, 2] = sz
+        R[..., 1, 1] = 1.0
+        R[..., 2, 0] = -sz
+        R[..., 2, 2] = cz
+        return R, p
+
+
+def _loop_trajectory(n_frames: int, fps: float) -> _WaypointTrajectory:
+    """Start viewing the back wall near the origin, wander right and turn
+    180 deg to map the opposite end of the room, then return to the start
+    pose. Yaw rate stays under ~25 deg/s so frame-to-frame tracking holds;
+    the turnaround breaks all covisibility with the early keyframes."""
+    T = n_frames / fps
+    pi = np.pi
+    return _WaypointTrajectory([
+        (0.00 * T, (-0.5, 0.0, 0.0), 0.0),
+        (0.08 * T, (0.4, 0.12, 0.3), -0.3),
+        (0.16 * T, (0.9, -0.08, 0.3), -0.9),
+        (0.26 * T, (1.1, 0.08, 0.0), -1.7),
+        (0.36 * T, (0.8, -0.1, -0.4), -2.5),
+        (0.46 * T, (0.0, 0.1, -0.6), -pi - 0.4),
+        (0.56 * T, (-0.8, -0.08, -0.4), -pi - 1.0),
+        (0.66 * T, (-1.1, 0.08, 0.0), -2 * pi + 1.3),
+        (0.76 * T, (-0.9, -0.06, 0.2), -2 * pi + 0.7),
+        (0.88 * T, (-0.5, 0.0, 0.0), -2 * pi),
+        (1.00 * T, (0.4, 0.1, 0.3), -2 * pi - 0.25),
+    ])
+
+
 def run_loop_closure_case(case: dict) -> dict:
-    """Loop-closure-heavy long sequence: a strictly periodic revisit
-    trajectory through the hard-rendered room with loop closing ON —
-    measures that closures fire and that the closed map's ATE holds."""
+    """Loop-closure case (r4 verdict item 4): a leave-and-return
+    trajectory whose revisit breaks covisibility. Runs the sequence with
+    loop closing ON and OFF and reports both ATEs — the ON run must close
+    >= 1 loop and beat the OFF run's accumulated drift."""
     from orb_slam3_ros2_tpu.io import synthetic
     from orb_slam3_ros2_tpu.runtime.system import Sensor, System
 
-    n = case.get("n_frames", 160)
-    period = 4.0
+    n = case.get("n_frames", 280)
     fps = 10.0
-    traj = synthetic.Trajectory(
-        amp_t=np.array([1.2, 0.7, 0.9]),
-        freq_t=np.array([1, 2, 1]) / period,
-        amp_r=np.array([0.12, 0.18, 0.08]),
-        freq_r=np.array([2, 1, 1]) / period,
-    )
+    W, H = case.get("width", 640), case.get("height", 480)
+    traj = _loop_trajectory(n, fps)
     images, R_gt, t_gt, ts = synthetic.render_room_sequence(
-        n_frames=n, width=case.get("width", 640),
-        height=case.get("height", 480), fx=450.0, fy=450.0, fps=fps,
+        n_frames=n, width=W, height=H, fx=450.0, fy=450.0, fps=fps,
         seed=case.get("seed", 3), traj=traj)
-    t0 = time.perf_counter()
-    with tempfile.TemporaryDirectory() as td:
-        settings = _write_settings(td, case.get("width", 640),
-                                   case.get("height", 480), 450.0, 450.0,
-                                   fps, 0.0)
-        sys_ = System(None, settings, Sensor.MONOCULAR)
-        for k in range(n):
-            sys_.track_monocular(images[k], float(ts[k]))
-        wall = time.perf_counter() - t0
-        est, gt = [], []
-        for k, (t, T) in enumerate(sys_.get_frame_trajectory()):
-            if sys_.tracking_log[k]["state"] != 1:
-                continue
-            est.append(-T[:3, :3].T @ T[:3, 3])
-            gt.append(-R_gt[k].T @ t_gt[k])
-        est, gt = np.asarray(est), np.asarray(gt)
-        n_loops = sys_.n_loops_closed
+
+    def run(loop_on: bool):
+        t0 = time.perf_counter()
+        with tempfile.TemporaryDirectory() as td:
+            settings = _write_settings(td, W, H, 450.0, 450.0, fps, 0.0)
+            sys_ = System(None, settings, Sensor.MONOCULAR)
+            sys_.settings.loop_closing = bool(loop_on)
+            for k in range(n):
+                sys_.track_monocular(images[k], float(ts[k]))
+            wall = time.perf_counter() - t0
+            est, gt = [], []
+            for k, (t, T) in enumerate(sys_.get_frame_trajectory()):
+                if sys_.tracking_log[k]["state"] != 1:
+                    continue
+                est.append(-T[:3, :3].T @ T[:3, 3])
+                gt.append(-R_gt[k].T @ t_gt[k])
+            est, gt = np.asarray(est), np.asarray(gt)
+            return (float(synthetic.ate_rmse(est, gt)), len(est),
+                    int(sys_.n_loops_closed + sys_.n_maps_merged), wall)
+
+    ate_on, n_on, loops, wall = run(True)
+    ate_off, _, _, _ = run(False)
     return {"sequence": case["name"], "mode": "mono+loop",
-            "ate_rmse_m": round(float(synthetic.ate_rmse(est, gt)), 4),
+            "ate_rmse_m": round(ate_on, 4),
             "kf_ate_rmse_m": None,
-            "tracked_frames": int(len(est)), "frames": int(n),
+            "tracked_frames": int(n_on), "frames": int(n),
             "wall_s": round(wall, 1), "fps": round(n / wall, 1),
-            "loops_closed": int(n_loops),
-            "note": ("0 loops here is the CORRECT outcome: the smooth "
-                     "periodic revisit keeps continuous covisibility, so "
-                     "candidates are excluded as connected keyframes "
-                     "(upstream drops spConnectedKeyFrames) and drift "
-                     "stays small without a correction; the "
-                     "loop-closure POLICY (aliased-room rejection, "
-                     "persistent-revisit closure, post-loop GBA) is "
-                     "exercised deterministically in "
-                     "tests/test_loop_closing_e2e.py"),
+            "loops_closed": int(loops),
+            "ate_loop_off_m": round(ate_off, 4),
+            "note": ("leave-and-return trajectory: the 360-deg excursion "
+                     "breaks covisibility with the early map, so the "
+                     "revisit must be re-anchored by the loop detector "
+                     "(BoW candidate -> Sim3 -> essential-graph "
+                     "correction -> GBA); ate_loop_off_m is the same "
+                     "sequence with the fork's loopClosing switch off"),
             "status": "ok"}
 
 
@@ -259,7 +329,9 @@ def run_synthetic_case(case: dict) -> dict:
         # steady-state System fps: median per-frame wall time over the
         # second half of the run — compiles and warm-up amortized out
         # (r2 verdict item 7: the full host loop's rate, vs the
-        # device-resident bench number)
+        # device-resident bench number); also the tail percentiles, since
+        # a live ingest drops frames on latency SPIKES, not on the median
+        tail_ms = frame_s[n_frames // 2:] * 1e3
         steady = float(np.median(frame_s[n_frames // 2:]))
 
         # retroactively-corrected frame trajectory (reference-KF-relative,
@@ -296,6 +368,9 @@ def run_synthetic_case(case: dict) -> dict:
            "tracked_frames": int(len(est)), "frames": int(n_frames),
            "wall_s": round(wall, 1), "fps": round(n_frames / wall, 1),
            "fps_steady": round(1.0 / max(steady, 1e-9), 1),
+           "frame_ms_p95": round(float(np.percentile(tail_ms, 95)), 1),
+           "frame_ms_max": round(float(tail_ms.max()), 1),
+           "frames_over_33ms": int((tail_ms > 33.0).sum()),
            "status": "ok"}
     if mode != "mono":
         # metric-scale check: trajectory length ratio without Sim3 scale
@@ -304,4 +379,17 @@ def run_synthetic_case(case: dict) -> dict:
         if len_gt > 0:
             row["scale_err_pct"] = round(
                 100.0 * abs(len_est - len_gt) / len_gt, 1)
+        # scale AT SEQUENCE END (last third): the VI convergence loop keeps
+        # refining until observability accrues, so the steady-state scale
+        # is the shippable number; the whole-trajectory column above keeps
+        # charging the pre-convergence prefix forever
+        third = len(est) // 3
+        if third >= 5:
+            le = float(np.linalg.norm(
+                np.diff(est[-third:], axis=0), axis=1).sum())
+            lg = float(np.linalg.norm(
+                np.diff(gt[-third:], axis=0), axis=1).sum())
+            if lg > 1e-9:
+                row["scale_err_end_pct"] = round(
+                    100.0 * abs(le - lg) / lg, 1)
     return row

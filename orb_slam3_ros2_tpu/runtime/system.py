@@ -482,6 +482,74 @@ class System:
         R_bc = jnp.asarray(Tbc[:3, :3], jnp.float32)
         t_bc = jnp.asarray(Tbc[:3, 3], jnp.float32)
 
+        @jax.jit
+        def frame_step_vi(m, R_cur, t_cur, v_cur, img,
+                          gyro, acc, dts, mask, bg, ba_, dt_frame):
+            """Pipelined per-frame device program, MONO-INERTIAL variant
+            (the reference's actual live sensor mode,
+            `/root/reference/launch/mapping.launch.py:85-90`): extraction +
+            undistort + IMU-PROPAGATED pose prediction (upstream
+            Tracking::PredictStateIMU, computed ON DEVICE from the
+            device-resident previous pose + velocity and this frame's
+            gyro/accel batch) + the fused track_frame. Keeps the
+            one-non-blocking-dispatch-per-frame property of the mono
+            program; the (19,) summary appends the updated body velocity
+            so the host's IMU state stays warm without extra fetches."""
+            import dataclasses
+
+            f = self._extract(img)
+            uv_u = undistort(f.uv)
+            # camera pose -> body pose (mirrors _predict_pose_imu)
+            R_bw = R_bc @ R_cur
+            t_bw = R_bc @ t_cur + t_bc
+            R_wb = R_bw.T
+            p_wb = -R_wb @ t_bw
+            g = jnp.array([0.0, 0.0, -9.81], jnp.float32)
+
+            def prop(carry, inp):
+                R_wb, p, v = carry
+                gy, ac, dt, mk = inp
+                dt = dt * mk
+                w = gy - bg
+                a = ac - ba_
+                a_w = R_wb @ a + g
+                p = p + v * dt + 0.5 * a_w * dt * dt
+                v = v + a_w * dt
+                R_wb = R_wb @ lie.so3_exp(w * dt)
+                return (R_wb, p, v), None
+
+            (R_wb2, p2, v_prop), _ = jax.lax.scan(
+                prop, (R_wb, p_wb, v_cur),
+                (gyro, acc, dts, mask.astype(jnp.float32)))
+            R_bw2 = R_wb2.T
+            t_bw2 = -R_bw2 @ p2
+            R_pred = R_bc.T @ R_bw2
+            t_pred = R_bc.T @ (t_bw2 - t_bc)
+            tm, res, obs_clean, summary = trk.track_frame(
+                m, uv_u, f.signs, f.mask, f.level, R_pred, t_pred,
+                fx, fy, cx, cy, W, H, scale_factor=sf,
+                min_matches=self.MIN_TRACK_INLIERS, cap_visible=cap_vis,
+            )
+            m2 = m._replace(
+                lm_visible=m.lm_visible + tm.lm_visible_inc,
+                lm_found=m.lm_found + tm.lm_found_inc,
+            )
+            # body velocity from the position difference over the frame
+            # interval (the same backward difference _track uses — it does
+            # not accumulate propagation drift)
+            R_bw_new = R_bc @ res.R
+            t_bw_new = R_bc @ res.t + t_bc
+            c_new = -R_bw_new.T @ t_bw_new
+            v_new = (c_new - p_wb) / jnp.maximum(dt_frame, 1e-6)
+            f_u = dataclasses.replace(f, uv=uv_u)
+            summary19 = jnp.concatenate([summary, v_new])
+            # v_new returned BOTH as a device handle (feeds the next
+            # dispatch's chain without a fetch) and inside the packed
+            # summary (the host's lagged async read)
+            return m2, f_u, obs_clean, res.R, res.t, v_new, summary19
+
+        self._frame_step_vi = frame_step_vi
+
         @functools.partial(
             jax.jit, static_argnames=("n_iters", "opt_gravity", "n_inertial")
         )
@@ -513,10 +581,17 @@ class System:
                 p, pres, v0, bg, ba_, fx, fy, cx, cy,
                 R_bc=R_bc, t_bc=t_bc, n_iters=n_iters,
                 opt_gravity=opt_gravity, n_inertial=n_inertial,
-                # accel bias stays pinned near the init-stage estimate: at
-                # init-window excitation it is scale-confounded (upstream
-                # FullInertialBA keeps strong bias priors right after init)
+                # accel bias prior is anchored ABSOLUTELY at zero, not at
+                # the running estimate: at these excitations ba is
+                # scale-confounded (upstream mono InitializeIMU uses
+                # priorA=1e10 toward zero for the same reason), and
+                # re-centering each window lets ba random-walk into the
+                # scale error — measured: with the drifting anchor the
+                # running ba absorbed a 23% map-scale error so completely
+                # that inertial-only scale refinement reported s=1.00
+                # (sigma 0.015) on a 0.77x-metric map and the error froze
                 prior_bg=1e2, prior_ba=1e6,
+                ba_prior_center=jnp.zeros(3),
             )
             K = m.kf_R.shape[0]
             write_ids = jnp.where(active, window_ids, K)
@@ -560,7 +635,6 @@ class System:
         self.imu_initialized = False
         self.inertial_ba1 = False
         self.inertial_ba2 = False
-        self.imu_queue: List[ImuPoint] = []
         self.kf_preints: List = []  # preintegrated deltas between KFs
         self.kf_times: List[float] = []
         self._kf_imu_buf: List[ImuPoint] = []
@@ -587,7 +661,12 @@ class System:
         self._frame_ref_cache = None
         # pipelined-mode state (see _track_pipelined)
         self._pend = None
+        self._pend_kf = None  # dispatched-but-unfinalized fused KF insertion
         self._chain = None
+        self._chain_time: Optional[float] = None
+        self._pipe_imu: List[ImuPoint] = []  # samples since the chain pose
+        # callbacks invoked as cb(remap, old_n_kf) after keyframe compaction
+        self.kf_remap_listeners: List = []
 
     # ---------------------------------------------------------------- atlas
 
@@ -670,15 +749,22 @@ class System:
         half-wired path (SURVEY.md §3.2)."""
         t0 = _time.perf_counter()
         if self.sensor in IMU_MODES:
-            self.imu_queue.extend(imu_measurements)
             self._kf_imu_buf.extend(imu_measurements)
 
         img = self._preprocess(im)
         if (self.pipelined and self.state == TrackingState.OK
-                and self.sensor == Sensor.MONOCULAR):
+                and (self.sensor == Sensor.MONOCULAR
+                     or (self.sensor == Sensor.IMU_MONOCULAR
+                         and self.imu_initialized
+                         and self.v_cur is not None))):
             # latency-tolerant path: one non-blocking dispatch; results
             # consumed one frame behind (trajectory/log entries appended at
-            # consume time, so counts stay one-per-frame)
+            # consume time, so counts stay one-per-frame). Mono-inertial
+            # joins once the IMU is initialized (device-side IMU-propagated
+            # prediction, _frame_step_vi); before init the staged path runs
+            # the VI bootstrap schedule.
+            if self.sensor == Sensor.IMU_MONOCULAR:
+                self._pipe_imu.extend(imu_measurements)
             self._track_pipelined(img, timestamp, t0)
             self.n_frames += 1
             return self.Tcw.copy()
@@ -698,7 +784,7 @@ class System:
         self.last_frame_time = timestamp
         self.n_frames += 1
         self.trajectory.append((timestamp, self.Tcw.copy()))
-        self.frame_refs.append(self._current_frame_ref())
+        self.frame_refs.append(self._frame_ref_record())
         self.tracking_log.append(
             {
                 "t": timestamp,
@@ -723,7 +809,6 @@ class System:
         two-view initialization is needed and scale is observable."""
         t0 = _time.perf_counter()
         if self.sensor in IMU_MODES:
-            self.imu_queue.extend(imu_measurements)
             self._kf_imu_buf.extend(imu_measurements)
 
         img_l = self._preprocess(im_left)
@@ -752,7 +837,7 @@ class System:
         self.last_frame_time = timestamp
         self.n_frames += 1
         self.trajectory.append((timestamp, self.Tcw.copy()))
-        self.frame_refs.append(self._current_frame_ref())
+        self.frame_refs.append(self._frame_ref_record())
         self.tracking_log.append(
             {"t": timestamp, "state": int(self.state),
              "ms": (_time.perf_counter() - t0) * 1e3}
@@ -773,7 +858,6 @@ class System:
         with the correspondence problem pre-solved by the sensor."""
         t0 = _time.perf_counter()
         if self.sensor in IMU_MODES:
-            self.imu_queue.extend(imu_measurements)
             self._kf_imu_buf.extend(imu_measurements)
 
         img = self._preprocess(im)
@@ -803,7 +887,7 @@ class System:
         self.last_frame_time = timestamp
         self.n_frames += 1
         self.trajectory.append((timestamp, self.Tcw.copy()))
-        self.frame_refs.append(self._current_frame_ref())
+        self.frame_refs.append(self._frame_ref_record())
         self.tracking_log.append(
             {"t": timestamp, "state": int(self.state),
              "ms": (_time.perf_counter() - t0) * 1e3}
@@ -928,6 +1012,9 @@ class System:
         self._frame_ref_cache = ref
         return ref
 
+    def _frame_ref_record(self):
+        return self._current_frame_ref()
+
     def get_frame_trajectory(self):
         """(t, T_cw 4x4) per tracked frame with retroactive corrections:
         each frame's track-time pose is re-expressed relative to its
@@ -958,7 +1045,11 @@ class System:
             # relative rotations intact but scales relative translations;
             # re-express the track-time relative transform at today's scale
             # — without this, frames tracked before the upgrade mix two
-            # scales into one trajectory (measured: hard-VI ATE 0.33 → 0.03)
+            # scales into one trajectory (measured: hard-VI ATE 0.33 → 0.03).
+            # (A LOCAL per-reference-keyframe scale carrier — final/track-
+            # time scene-depth ratio — was tried in round 5 and measured
+            # WORSE than this global factor on the multi-seed VI suite:
+            # 9.8/5.5/6.3% vs 8.8/3.9/3.1% scale error.)
             T_rel = T_rel.copy()
             T_rel[:3, 3] *= s_now / max(s_then, 1e-12)
             out.append((t, (T_rel @ T_final).astype(np.float32)))
@@ -1139,23 +1230,76 @@ class System:
 
     # ------------------------------------------------- pipelined tracking
 
+    def _pack_pipe_imu(self, t_img: float):
+        """Fixed-shape (gyro, acc, dts, mask) covering (chain_time, t_img]
+        from the pipelined IMU buffer; consumed samples are dropped."""
+        P = self._pre_cap
+        gyro = np.zeros((P, 3), np.float32)
+        acc = np.zeros((P, 3), np.float32)
+        dts = np.zeros((P,), np.float32)
+        mask = np.zeros((P,), bool)
+        t_prev = self._chain_time if self._chain_time is not None else t_img
+        keep = []
+        i = 0
+        for p in self._pipe_imu:
+            if p.t <= t_prev:
+                continue
+            if p.t > t_img + 1e-9:
+                keep.append(p)
+                continue
+            if i < P:
+                gyro[i] = p.gyro
+                acc[i] = p.acc
+                dts[i] = max(p.t - t_prev, 0.0)
+                t_prev = p.t
+                mask[i] = True
+                i += 1
+        self._pipe_imu = keep
+        return (jnp.asarray(gyro), jnp.asarray(acc), jnp.asarray(dts),
+                jnp.asarray(mask))
+
     def _track_pipelined(self, img, timestamp: float, t0: float):
         """Dispatch this frame's full device program and consume the
         PREVIOUS frame's summary (already transferred by its async copy).
-        The device pose chain (R_cur, t_cur, R_prev, t_prev) lives entirely
-        in device handles — prediction never round-trips."""
+        The device pose chain lives entirely in device handles — prediction
+        never round-trips. Mono: (R_cur, t_cur, R_prev, t_prev) with
+        constant-velocity prediction. Mono-inertial: (R_cur, t_cur, v_cur)
+        with device-side IMU propagation (_frame_step_vi)."""
+        vi = self.sensor == Sensor.IMU_MONOCULAR
         if self._chain is None:
             R_cur = jnp.asarray(self.Tcw[:3, :3])
             t_cur = jnp.asarray(self.Tcw[:3, 3])
-            if self.velocity is not None:
-                Tp = np.linalg.inv(self.velocity) @ self.Tcw
+            if vi:
+                self._chain = (R_cur, t_cur,
+                               jnp.asarray(np.asarray(self.v_cur),
+                                           jnp.float32))
+                self._chain_time = (self.last_frame_time
+                                    if self.last_frame_time is not None
+                                    else timestamp)
             else:
-                Tp = self.Tcw
-            self._chain = (R_cur, t_cur, jnp.asarray(Tp[:3, :3]),
-                           jnp.asarray(Tp[:3, 3]))
-        with self.tracer.stage("frame_step"):
-            m2, feats, obs_clean, Rk, tk, summary = self._frame_step(
-                self.map, *self._chain, img)
+                if self.velocity is not None:
+                    Tp = np.linalg.inv(self.velocity) @ self.Tcw
+                else:
+                    Tp = self.Tcw
+                self._chain = (R_cur, t_cur, jnp.asarray(Tp[:3, :3]),
+                               jnp.asarray(Tp[:3, 3]))
+        if vi:
+            gyro, acc, dts, mask = self._pack_pipe_imu(timestamp)
+            dtf = max(timestamp - (self._chain_time or timestamp), 1e-3)
+            with self.tracer.stage("frame_step"):
+                m2, feats, obs_clean, Rk, tk, v_new, summary = (
+                    self._frame_step_vi(
+                        self.map, *self._chain, img, gyro, acc, dts, mask,
+                        jnp.asarray(self.bg, jnp.float32),
+                        jnp.asarray(self.ba, jnp.float32),
+                        jnp.asarray(dtf, jnp.float32)))
+            self._chain = (Rk, tk, v_new)
+            self._chain_time = timestamp
+        else:
+            with self.tracer.stage("frame_step"):
+                m2, feats, obs_clean, Rk, tk, summary = self._frame_step(
+                    self.map, *self._chain, img)
+            self._chain = (Rk, tk, self._chain[0], self._chain[1])
         self.map = m2
         try:
             summary.copy_to_host_async()
@@ -1163,7 +1307,6 @@ class System:
             pass
         pend, self._pend = self._pend, (summary, feats, obs_clean,
                                         timestamp, t0)
-        self._chain = (Rk, tk, self._chain[0], self._chain[1])
         if pend is not None:
             self._consume_pend(pend)
 
@@ -1173,11 +1316,81 @@ class System:
         pend, self._pend = self._pend, None
         if pend is not None:
             self._consume_pend(pend)
+        self._finalize_pend_kf()
         self._chain = None
+        self._chain_time = None
+        self._pipe_imu = []
+
+    def _insert_keyframe_fused_dispatch(self, feats, obs_clean,
+                                        timestamp: float, n_inl: int):
+        """Pipelined-mode fused KF insertion, DISPATCH half: enqueue the
+        whole mapping program + the BoW row and return without fetching.
+        The summary is consumed one frame later (_finalize_pend_kf), so the
+        device runs triangulation/local-BA while the host dispatches the
+        next frames' tracking — the blocking mapping turnaround (median
+        63 ms ≈ two 30 FPS frame budgets, BENCH_r04) leaves the per-frame
+        critical path."""
+        with self.tracer.stage("mapping_dispatch"):
+            m, summary = self._mapping_step(
+                self.map,
+                jnp.asarray(self.Tcw[:3, :3]), jnp.asarray(self.Tcw[:3, 3]),
+                jnp.asarray(timestamp),
+                feats.uv, feats.level, feats.bits, feats.mask,
+                obs_clean.astype(jnp.int32),
+            )
+            self.map = m
+            self.bow_db = vocab_mod.add_keyframe(self.bow_db, feats.signs,
+                                                 feats.mask)
+        try:
+            summary.copy_to_host_async()
+        except AttributeError:
+            pass
+        self.kf_times.append(timestamp)
+        self.frames_since_kf = 0
+        self.last_kf_inliers = max(n_inl, 1)
+        self._pend_kf = (summary, timestamp, feats)
+
+    def _finalize_pend_kf(self) -> bool:
+        """Consume a deferred fused KF insertion: fetch the (by now
+        transferred) summary and run the rare host-side tail — compaction
+        triggers, loop closing, frame-reference refill. Returns True if
+        the map was remapped/retransformed (callers drop the chain)."""
+        pk, self._pend_kf = self._pend_kf, None
+        if pk is None:
+            return False
+        summary, timestamp, feats = pk
+        with self.tracer.stage("mapping_fused"):
+            s = np.asarray(summary)
+        n_kf_after = int(s[12])
+        n_lm = int(s[13])
+        new_id = n_kf_after - 1
+        compact0 = getattr(self, "_compact_events", 0)
+        kf_remap = self._maybe_compact(n_kf=n_kf_after, n_lm=n_lm)
+        if kf_remap is not None:
+            new_id = int(kf_remap[new_id])
+        closed_before = (self.n_loops_closed, self.n_maps_merged)
+        if self.settings.loop_closing:
+            with self.tracer.stage("loop_closing"):
+                self._try_close_loop(new_id, feats)
+        events = (getattr(self, "_compact_events", 0) != compact0
+                  or (self.n_loops_closed,
+                      self.n_maps_merged) != closed_before)
+        # unlike the synchronous path, the consumed frames' poses supersede
+        # the keyframe pose for the motion model — adopt it only into the
+        # frame-reference cache (trajectory re-expression), not self.Tcw
+        if not events:
+            T_kf = self._pose44(s[:9].reshape(3, 3), s[9:12])
+            self._frame_ref_cache = (
+                timestamp, T_kf,
+                float(getattr(self, "scale_applied", 1.0)))
+            self._last_kf_center = -T_kf[:3, :3].T @ T_kf[:3, 3]
+        else:
+            self._mark_frame_ref_dirty()
+        return events
 
     def _append_frame_record(self, ts: float, t0: float):
         self.trajectory.append((ts, self.Tcw.copy()))
-        self.frame_refs.append(self._current_frame_ref())
+        self.frame_refs.append(self._frame_ref_record())
         self.tracking_log.append({
             "t": ts, "state": int(self.state),
             "ms": (_time.perf_counter() - t0) * 1e3,
@@ -1186,6 +1399,17 @@ class System:
     def _consume_pend(self, pend):
         """Apply one lagged frame result to the host state machine."""
         summary, feats, obs_clean, ts, t0 = pend
+        # a fused KF insertion dispatched at the previous consume finalizes
+        # first (its device program ran concurrently with this frame's
+        # tracking dispatch); map-remapping events invalidate this frame
+        if self._finalize_pend_kf():
+            self._chain = None
+            self._chain_time = None
+            self._append_frame_record(ts, t0)
+            drop, self._pend = self._pend, None
+            if drop is not None:
+                self._append_frame_record(drop[3], drop[4])
+            return
         # with the async copy started a frame ago this is a local read, not
         # a link round-trip; the tracer stage makes that observable
         with self.tracer.stage("summary_fetch"):
@@ -1200,6 +1424,7 @@ class System:
             self.state = TrackingState.LOST
             drop, self._pend = self._pend, None
             self._chain = None
+            self._chain_time = None
             self._append_frame_record(ts, t0)
             if drop is not None:
                 self._append_frame_record(drop[3], drop[4])
@@ -1212,16 +1437,36 @@ class System:
         self.frames_since_kf += 1
         self.last_frame_feats = feats
         self.last_frame_time = ts
+        if s.shape[0] >= 19:
+            # VI summary carries the device-computed body velocity — keeps
+            # the host IMU state (VI local-BA seeds, reloc fallback) warm
+            self.v_cur = s[16:19].astype(np.float64)
         self._append_frame_record(ts, t0)
         if self._need_keyframe(n_inl, n_kf):
+            if self.sensor == Sensor.MONOCULAR:
+                # deferred fused insertion: dispatch now, finalize at the
+                # next consume (keeps the mapping turnaround off the
+                # per-frame critical path)
+                self._insert_keyframe_fused_dispatch(feats, obs_clean, ts,
+                                                     n_inl)
+                return
             with self.tracer.stage("insert_kf"):
                 compact0 = getattr(self, "_compact_events", 0)
+                scale0 = self.scale_applied
+                loops0 = (self.n_loops_closed, self.n_maps_merged)
                 self._insert_keyframe(feats, obs_clean, ts, n_inl)
-                if getattr(self, "_compact_events", 0) != compact0:
-                    # slot compaction remapped landmark/keyframe ids: the
-                    # in-flight frame's associations are stale — drop it
+                if (getattr(self, "_compact_events", 0) != compact0
+                        or self.scale_applied != scale0
+                        or (self.n_loops_closed,
+                            self.n_maps_merged) != loops0):
+                    # the map was remapped (slot compaction) or
+                    # retransformed (VI scale/gravity refinement, loop
+                    # correction, map merge): the in-flight frame's
+                    # associations/prediction chain are stale — drop it
+                    # and rebuild the chain from the fresh host pose
                     drop, self._pend = self._pend, None
                     self._chain = None
+                    self._chain_time = None
                     if drop is not None:
                         self._append_frame_record(drop[3], drop[4])
 
@@ -1631,6 +1876,10 @@ class System:
                     p = self._merge_pre(p, s)
                 new_pre.append(p)
             self.kf_preints = new_pre
+        # external subscribers (e.g. parallel.live_session keeps per-KF BoW
+        # rows / feature records / weld-edge anchors keyed by slot id)
+        for cb in getattr(self, "kf_remap_listeners", ()):
+            cb(remap, old_n_kf)
 
     # ------------------------------------------------------------ loop close
 
@@ -2020,8 +2269,11 @@ class System:
             n_int = max_int
         # bucket the window length so repeated (e.g. convergence-driven)
         # refinements reuse a handful of compiled shapes instead of one
-        # compile per distinct size
-        for b in (24, 16, 12, 8):
+        # compile per distinct size. Long buckets matter: scale/gravity
+        # separate only once the window spans enough accel VARIATION
+        # (measured: 3-5 s windows under-estimate a 24% residual scale as
+        # 4% — confidently — while ~10 s windows recover it to 2%)
+        for b in (48, 32, 24, 16, 12, 8):
             if n_int >= b:
                 n_int = b
                 break
@@ -2051,7 +2303,7 @@ class System:
     # counts to keep jit recompiles bounded.
     SCALE_REFINE_AT = (8, 12, 16, 24, 32, 48, 64)
     FULL_VIBA_AT = (11, 21)  # full joint VIBA (FullInertialBA) schedule
-    SCALE_REFINE_MAX_INT = 24
+    SCALE_REFINE_MAX_INT = 48
 
     def _refine_scale(self):
         """Inertial-only re-estimation of residual scale/gravity over the
@@ -2062,14 +2314,18 @@ class System:
         if win is None:
             return
         kf_ids, pres, R_wb, p_wb = win
-        # biases held at the running estimates (upstream ScaleRefinement
-        # solves only scale + gravity direction)
+        # gyro bias stays near the running estimate (lightly anchored so
+        # window-local rotation noise cannot yank it), but the accel bias
+        # is re-anchored at ZERO: pinning it to the running estimate let a
+        # VIBA-corrupted ba mask the true residual scale completely
+        # (measured on the s1 hard-render run: window true scale 1.33,
+        # pinned-ba estimate 1.00 at sigma 0.015, zero-anchored estimate
+        # 1.25 — the pinned refinement was confidently blind)
         out = self._vi_init(
             pres, jnp.asarray(R_wb, jnp.float32),
             jnp.asarray(p_wb, jnp.float32),
-            prior_bg=1e6, prior_ba=1e10,
+            prior_bg=1e4, prior_ba=1e10,
             bg_center=jnp.asarray(self.bg, jnp.float32),
-            ba_center=jnp.asarray(self.ba, jnp.float32),
         )
         s = float(out.scale)
         if not (0.2 < s < 5.0) or not np.isfinite(s):
@@ -2114,8 +2370,16 @@ class System:
         self.last_Tcw = self.Tcw.copy()
         self.velocity = None
         self.bg = np.asarray(out.bg)
-        self.ba = np.asarray(out.ba)
+        # self.ba deliberately NOT updated here: the refinement solves with
+        # ba anchored at zero purely so the scale is observable; the joint
+        # VIBA remains the accel-bias estimator
         self.scale_applied *= s
+        # _scene_depth is a map-units depth: it must ride every world Sim3
+        # or the (ref pose, depth) pairing in the frame-reference records
+        # mixes scales (measured: 20-30% exported scale error from exactly
+        # this mismatch when refines fire every other keyframe)
+        if self._scene_depth is not None:
+            self._scene_depth *= s
         v_opt = np.asarray(out.v) @ R_wg
         self.kf_velocities.update(
             {int(k): v_opt[i] for i, k in enumerate(kf_ids)}
@@ -2233,6 +2497,8 @@ class System:
         self.bg = np.asarray(out.bg)
         self.ba = np.asarray(out.ba)
         self.scale_applied = s
+        if self._scene_depth is not None:
+            self._scene_depth *= s  # depth rides the world Sim3
         self.imu_initialized = True
         self.inertial_ba1 = True
         self._scale_stable_count = 0  # start the convergence-driven refine
