@@ -192,7 +192,21 @@ class TopicInfo:
 
 
 class Rosbag2Reader:
-    """Open a rosbag2 directory (containing *.db3) or a .db3 file."""
+    """Open a rosbag2 directory or file — sqlite3 (.db3) or mcap storage.
+
+    mcap is rosbag2's newer default storage plugin; bags recorded by a
+    current `ros2 bag record` replay through the same interface
+    (`/root/reference/launch/mapping.launch.py:167-190` replays whatever
+    storage the user recorded). mcap files dispatch to `McapReader`."""
+
+    def __new__(cls, path: str):
+        if cls is Rosbag2Reader:
+            if (path.endswith(".mcap")
+                    or (os.path.isdir(path)
+                        and not glob.glob(os.path.join(path, "*.db3"))
+                        and glob.glob(os.path.join(path, "*.mcap")))):
+                return super().__new__(McapReader)
+        return super().__new__(cls)
 
     def __init__(self, path: str):
         if os.path.isdir(path):
@@ -250,6 +264,191 @@ class Rosbag2Reader:
             if imu is None and t.type == "sensor_msgs/msg/Imu":
                 imu = t.name
         return img, imu
+
+
+# ---------------------------------------------------------------------------
+# mcap storage (rosbag2's newer default plugin) — pure-python framing over
+# the same CDR decoders. Spec: https://mcap.dev/spec (magic + opcode/length
+# framed records; Schema 0x03 / Channel 0x04 / Message 0x05 / Chunk 0x06).
+# ---------------------------------------------------------------------------
+
+_MCAP_MAGIC = b"\x89MCAP0\r\n"
+
+
+def _mcap_str(buf: bytes, off: int) -> Tuple[str, int]:
+    n = struct.unpack_from("<I", buf, off)[0]
+    return buf[off + 4: off + 4 + n].decode("utf-8"), off + 4 + n
+
+
+class McapReader(Rosbag2Reader):
+    """Sequential-scan mcap reader with the Rosbag2Reader interface.
+
+    Handles top-level Message records and uncompressed or zstd/lz4 Chunks
+    (compressed chunks require the `zstandard`/`lz4` modules; absent
+    modules raise a clear error instead of silently skipping data)."""
+
+    def __init__(self, path: str):
+        if os.path.isdir(path):
+            files = sorted(glob.glob(os.path.join(path, "*.mcap")))
+            if not files:
+                raise FileNotFoundError(f"no .mcap under {path}")
+            self.paths = files
+        else:
+            self.paths = [path]
+        self.topics = []
+        self._channels: dict = {}  # file -> {channel_id: TopicInfo}
+        for p in self.paths:
+            chans = {}
+            for op, body in self._records(p):
+                if op == 0x04:  # Channel
+                    cid = struct.unpack_from("<H", body, 0)[0]
+                    topic, off = _mcap_str(body, 4)
+                    # schema name lives in the Schema record; rosbag2 sets
+                    # the CHANNEL's metadata but the TYPE is the schema
+                    chans[cid] = topic
+            self._channels[p] = chans
+        # second pass for schemas → message types
+        for p in self.paths:
+            schemas = {}
+            chan_schema = {}
+            for op, body in self._records(p):
+                if op == 0x03:  # Schema: id, name, encoding, data
+                    sid = struct.unpack_from("<H", body, 0)[0]
+                    name, _ = _mcap_str(body, 2)
+                    schemas[sid] = name
+                elif op == 0x04:
+                    cid = struct.unpack_from("<H", body, 0)[0]
+                    sid = struct.unpack_from("<H", body, 2)[0]
+                    chan_schema[cid] = sid
+            for cid, topic in self._channels[p].items():
+                typ = schemas.get(chan_schema.get(cid, -1), "")
+                # mcap schema names use '/' paths identical to ROS types
+                if not any(t.name == topic for t in self.topics):
+                    self.topics.append(TopicInfo(id=cid, name=topic,
+                                                 type=typ))
+
+    # -- record framing --------------------------------------------------
+
+    @staticmethod
+    def _iter_buf_records(buf: bytes):
+        off = 0
+        n = len(buf)
+        while off + 9 <= n:
+            op = buf[off]
+            ln = struct.unpack_from("<Q", buf, off + 1)[0]
+            yield op, buf[off + 9: off + 9 + ln]
+            off += 9 + ln
+
+    def _records(self, path: str):
+        """Yield (opcode, body) for every record, descending into chunks."""
+        with open(path, "rb") as f:
+            data = f.read()
+        if not data.startswith(_MCAP_MAGIC):
+            raise ValueError(f"{path}: not an mcap file")
+        for op, body in self._iter_buf_records(data[len(_MCAP_MAGIC):]):
+            if op == 0x06:  # Chunk
+                # message_start/end (16) + uncompressed_size (8) + crc (4)
+                comp, off = _mcap_str(body, 28)
+                rec_len = struct.unpack_from("<Q", body, off)[0]
+                records = body[off + 8: off + 8 + rec_len]
+                if comp == "":
+                    pass
+                elif comp == "zstd":
+                    try:
+                        import zstandard
+                    except ImportError as e:
+                        raise RuntimeError(
+                            "mcap chunk is zstd-compressed; install "
+                            "`zstandard` to read this bag") from e
+                    records = zstandard.ZstdDecompressor().decompress(
+                        records,
+                        max_output_size=struct.unpack_from(
+                            "<Q", body, 16)[0])
+                elif comp == "lz4":
+                    try:
+                        import lz4.frame
+                    except ImportError as e:
+                        raise RuntimeError(
+                            "mcap chunk is lz4-compressed; install "
+                            "`lz4` to read this bag") from e
+                    records = lz4.frame.decompress(records)
+                else:
+                    raise ValueError(f"unknown mcap compression {comp!r}")
+                yield from self._iter_buf_records(records)
+            elif op == 0x0F:  # DataEnd → stop before the summary section
+                return
+            else:
+                yield op, body
+
+    def messages(self, topics: List[str]) -> Iterator[Tuple[str, float, object]]:
+        want = {n: self._topic(n) for n in topics}
+        out = []
+        for p in self.paths:
+            names = self._channels[p]
+            for op, body in self._records(p):
+                if op != 0x05:  # Message
+                    continue
+                cid = struct.unpack_from("<H", body, 0)[0]
+                name = names.get(cid)
+                if name not in want:
+                    continue
+                log_time = struct.unpack_from("<Q", body, 6)[0]
+                payload = body[22:]
+                info = want[name]
+                dec = _DECODERS.get(info.type)
+                if dec is None:
+                    raise ValueError(
+                        f"no decoder for message type {info.type!r}")
+                out.append((name, log_time * 1e-9, dec(payload)))
+        out.sort(key=lambda x: x[1])
+        yield from out
+
+
+class McapWriter:
+    """Minimal valid mcap writer (uncompressed, unchunked, no indexes) —
+    produces files stock mcap/rosbag2 tooling and `McapReader` open."""
+
+    def __init__(self, out_dir: str, bag_name: str = "bag"):
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, f"{bag_name}_0.mcap")
+        self._f = open(self.path, "wb")
+        self._f.write(_MCAP_MAGIC)
+        self._record(0x01, self._s("ros2") + self._s("orb_slam3_ros2_tpu"))
+        self._schemas: dict = {}
+        self._chans: dict = {}
+        self._seq = 0
+
+    @staticmethod
+    def _s(s: str) -> bytes:
+        b = s.encode("utf-8")
+        return struct.pack("<I", len(b)) + b
+
+    def _record(self, op: int, body: bytes):
+        self._f.write(bytes([op]) + struct.pack("<Q", len(body)) + body)
+
+    def add_topic(self, name: str, type_: str):
+        if type_ not in self._schemas:
+            sid = len(self._schemas) + 1
+            self._schemas[type_] = sid
+            self._record(0x03, struct.pack("<H", sid) + self._s(type_)
+                         + self._s("ros2msg") + struct.pack("<I", 0))
+        cid = len(self._chans) + 1
+        self._chans[name] = cid
+        self._record(0x04, struct.pack("<HH", cid, self._schemas[type_])
+                     + self._s(name) + self._s("cdr")
+                     + struct.pack("<I", 0))
+
+    def write(self, topic: str, t: float, payload: bytes):
+        ts = int(round(t * 1e9))
+        self._record(0x05, struct.pack("<HIQQ", self._chans[topic],
+                                       self._seq, ts, ts) + payload)
+        self._seq += 1
+
+    def close(self):
+        self._record(0x0F, struct.pack("<I", 0))          # DataEnd
+        self._record(0x02, struct.pack("<QQI", 0, 0, 0))  # Footer
+        self._f.write(_MCAP_MAGIC)
+        self._f.close()
 
 
 # ---------------------------------------------------------------------------
