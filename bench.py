@@ -118,6 +118,7 @@ def main():
 
     ba_iters_s = _bench_ba_iters()
     sys_fps, sys_extra = _bench_system_fps_steady()
+    vi_fps, vi_extra = _bench_system_fps_steady_vi()
 
     print(json.dumps({
         "metric": "tracking_fps_per_chip",
@@ -132,6 +133,8 @@ def main():
                           "(iteration-count slope, dispatch cancelled)",
             "system_fps_steady": sys_fps,
             "system_fps_detail": sys_extra,
+            "system_fps_steady_vi": vi_fps,
+            "system_fps_vi_detail": vi_extra,
             "system_fps_note": "full orchestrated host loop at the "
                                "reference 640x480/1250-feature live "
                                "config, pipelined latency-tolerant mode "
@@ -268,6 +271,86 @@ def _bench_system_fps_steady():
                 "keyframe-insertion summaries (count above), amortized "
                 "over the KF interval; latency percentiles are over the "
                 "steady second half of the run",
+    }
+    return round(1.0 / max(steady, 1e-9), 1), extra
+
+
+def _bench_system_fps_steady_vi():
+    """Steady-state fps of the full System in MONO-INERTIAL pipelined mode
+    at the reference D435i live config (640x480, 1250 feats, 200 Hz IMU) —
+    the sensor mode the reference actually ships live
+    (`launch/mapping.launch.py:85-90` + accel/gyro united). The r4 bench
+    covered only pure MONOCULAR; the VI pipelined path (device-side IMU
+    propagation, _frame_step_vi) is the r5 addition this measures."""
+    import os
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from orb_slam3_ros2_tpu.io import synthetic
+    from orb_slam3_ros2_tpu.runtime.system import ImuPoint, Sensor, System
+
+    n = 180
+    images, R_gt, t_gt, ts = synthetic.render_sequence(
+        n_frames=n, width=640, height=480, fx=520.0, fy=520.0,
+        fps=30.0, seed=1, traj_scale=1.2,
+    )
+    # render_sequence(seed=s) drives its camera along
+    # default_trajectory(s+3); the IMU must ride the SAME trajectory
+    traj = synthetic.default_trajectory(seed=4, scale=1.2)
+    true_bg = np.array([0.01, -0.008, 0.012])
+    imu_t, gyro, acc = synthetic.make_imu(
+        traj, -0.02, float(ts[-1]) + 0.01, rate=200.0,
+        gyro_noise=1.7e-4 * np.sqrt(200.0), acc_noise=2.0e-3 * np.sqrt(200.0),
+        gyro_bias=true_bg, seed=5)
+    tmpl = (
+        '%YAML:1.0\nFile.version: "1.0"\nCamera.type: "Rectified"\n'
+        "Camera1.fx: 520.0\nCamera1.fy: 520.0\n"
+        "Camera1.cx: 320.0\nCamera1.cy: 240.0\n"
+        "Camera.width: 640\nCamera.height: 480\nCamera.fps: 30.0\n"
+        "Camera.RGB: 1\nORBextractor.nFeatures: 1250\n"
+        "ORBextractor.scaleFactor: 1.2\nORBextractor.nLevels: 8\n"
+        "ORBextractor.iniThFAST: 20\nORBextractor.minThFAST: 7\n"
+        "IMU.NoiseGyro: 1.7e-4\nIMU.NoiseAcc: 2.0e-3\n"
+        "IMU.GyroWalk: 1.9e-5\nIMU.AccWalk: 3.0e-3\n"
+        "IMU.Frequency: 200.0\n"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "bench_vi.yaml")
+        with open(path, "w") as f:
+            f.write(tmpl)
+        sys_ = System(None, path, Sensor.IMU_MONOCULAR, pipelined=True)
+        sys_.VI_INIT_KFS = 6
+        frame_s = np.zeros(n)
+        t_prev = -1.0
+        pipelined_frames = 0
+        for k in range(n):
+            sel = (imu_t > t_prev) & (imu_t <= ts[k])
+            pts = [ImuPoint(acc[i], gyro[i], imu_t[i])
+                   for i in np.where(sel)[0]]
+            t0 = time.perf_counter()
+            sys_.track_monocular(images[k], float(ts[k]), pts)
+            frame_s[k] = time.perf_counter() - t0
+            t_prev = float(ts[k])
+            if sys_._pend is not None:
+                pipelined_frames += 1
+        imu_init = sys_.imu_initialized
+        n_kf = int(sys_.map.n_kf)
+    tail = frame_s[n // 2:] * 1e3
+    steady = float(np.median(frame_s[n // 2:]))
+    extra = {
+        "config": "640x480 / 1250 feats / 8 levels / 200 Hz IMU "
+                  "(reference D435i mono-inertial live config), pipelined "
+                  "VI mode engages after IMU init",
+        "imu_initialized": bool(imu_init),
+        "keyframes": n_kf,
+        "pipelined_frames": int(pipelined_frames),
+        "frame_ms_p50": round(float(np.percentile(tail, 50)), 2),
+        "frame_ms_p95": round(float(np.percentile(tail, 95)), 2),
+        "frame_ms_max": round(float(tail.max()), 2),
+        "frames_over_33ms": int((tail > 33.0).sum()),
+        "frames_measured": int(tail.size),
     }
     return round(1.0 / max(steady, 1e-9), 1), extra
 
