@@ -116,6 +116,16 @@ def gather_patches_multi(imgs, yx: jnp.ndarray):
 
 
 def _gather_patches_block(imgs, yx: jnp.ndarray):
+    """Single-block gather via a 64-lane-shifted shadow copy.
+
+    A 31-wide window with lane offset off <= 97 lives inside ONE 128-lane
+    block; windows with off > 97 live inside one block of the SAME image
+    shifted left by 64 lanes (new offset off-64 in [34, 63]). Stacking the
+    shifted copy under the original lets every patch row come from exactly
+    one gathered (128,) block — HALF the gather rows and HALF the
+    column-select matmul of the r4 two-adjacent-blocks scheme (measured:
+    the gather stage was 0.51 ms/frame of the 1.32 ms extraction, the
+    second-largest piece after the fused frontend kernel)."""
     yx = jnp.asarray(yx, dtype=jnp.int32)
     start = yx - PATCH_R
     N = yx.shape[0]
@@ -126,22 +136,31 @@ def _gather_patches_block(imgs, yx: jnp.ndarray):
     rows = start[:, 0, None] + dr[None, :]  # (N, 31) absolute rows
     b0 = start[:, 1] // 128  # (N,) first 128-block of the window
     off = start[:, 1] - b0 * 128  # (N,) in [0, 127]
-    # flat (row, block) indices for the two adjacent blocks per patch row
-    bidx = (
-        rows[:, :, None] * nblk
-        + jnp.clip(b0[:, None, None] + jnp.arange(2)[None, None, :],
-                   0, nblk - 1)
-    ).reshape(-1)  # (N*31*2,)
-    cols = off[:, None] + dr[None, :]  # (N, 31) in [0, 157]
+    use_shift = off > 128 - PATCH  # needs the 64-shifted copy
+    # shifted-copy coordinates: absolute col - 64
+    c_shift = start[:, 1] - 64
+    b0_s = c_shift // 128
+    off_s = c_shift - b0_s * 128
+    b_sel = jnp.where(use_shift, b0_s, b0)
+    off_sel = jnp.where(use_shift, off_s, off)
+    # row index into the stacked (original; shifted) block view
+    base = jnp.where(use_shift, H * nblk, 0)
+    bidx = (base[:, None] + rows * nblk
+            + jnp.clip(b_sel, 0, nblk - 1)[:, None]).reshape(-1)  # (N*31,)
+    cols = off_sel[:, None] + dr[None, :]  # (N, 31) in [0, 127]
     oh = (cols[:, :, None] ==
-          jnp.arange(256, dtype=jnp.int32)[None, None, :]
+          jnp.arange(128, dtype=jnp.int32)[None, None, :]
           ).astype(jnp.bfloat16)
     out = []
     for im in imgs:
         imb = im.astype(jnp.bfloat16)
         if Wp != W:
             imb = jnp.pad(imb, ((0, 0), (0, Wp - W)))
-        g = imb.reshape(H * nblk, 128)[bidx].reshape(N, PATCH, 256)
+        imb_s = jnp.pad(imb[:, 64:], ((0, 0), (0, 64)))
+        stacked = jnp.concatenate(
+            [imb.reshape(H * nblk, 128), imb_s.reshape(H * nblk, 128)],
+            axis=0)
+        g = stacked[bidx].reshape(N, PATCH, 128)
         out.append(jnp.einsum("nrw,ncw->nrc", g, oh,
                               precision=jax.lax.Precision.DEFAULT,
                               preferred_element_type=jnp.float32))
@@ -208,8 +227,11 @@ def moment_maps(img: jnp.ndarray):
 
 N_ANGLE_BINS = 32  # steering quantization; adjacent-bin interpolation keeps
 # worst-case sample displacement at r·Δθ²/8 ≈ 0.063 px (vs OpenCV ORB's
-# integer rounding of the rotated pattern, worst-case 0.71 px); halving from
-# 64 bins halves the describe matmul FLOPs for negligible sampling error
+# integer rounding of the rotated pattern, worst-case 0.71 px). An r5
+# experiment at 12 bins measured mean binned-vs-exact Hamming 26/256 (vs
+# <12 here) for only ~0.04 ms/frame saved — the bin count is NOT the
+# extraction bottleneck (the fused FAST kernel and patch gather are), so
+# 32 stays.
 
 
 @functools.lru_cache(maxsize=None)
@@ -328,12 +350,11 @@ def _describe_binned(patches: jnp.ndarray, angles: jnp.ndarray):
     i0 = jnp.floor(tbin).astype(jnp.int32) % A
     i1 = (i0 + 1) % A
     f = (tbin - jnp.floor(tbin))[:, None].astype(jnp.float32)
-    oh0 = (i0[:, None] == jnp.arange(A)[None, :]).astype(jnp.float32)
-    oh1 = (i1[:, None] == jnp.arange(A)[None, :]).astype(jnp.float32)
-    v0 = jnp.einsum("na,naq->nq", oh0, vals_all,
-                    precision=jax.lax.Precision.DEFAULT)
-    v1 = jnp.einsum("na,naq->nq", oh1, vals_all,
-                    precision=jax.lax.Precision.DEFAULT)
+    # per-keypoint 2-bin pick as a row gather (take_along_axis lowers to
+    # one dynamic-gather per bin — cheaper than the two (N, A, 256)
+    # one-hot contractions it replaces)
+    v0 = jnp.take_along_axis(vals_all, i0[:, None, None], axis=1)[:, 0]
+    v1 = jnp.take_along_axis(vals_all, i1[:, None, None], axis=1)[:, 0]
     return (1.0 - f) * v0 + f * v1  # (N, 256) tau differences
 
 

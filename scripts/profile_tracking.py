@@ -156,7 +156,9 @@ def main():
     # frontend pass (Pallas fused FAST+NMS+blur): read level (4 B) +
     # write score f32 + keep bool + blurred f32 per pixel; plus the grid
     # top-k select reading the score map again, plus patch gather/describe
-    bins = 32
+    from orb_slam3_ros2_tpu.ops import orb_descriptor as _desc
+
+    bins = _desc.N_ANGLE_BINS
     P = 31 * 31  # descriptor patch pixels
     canvas = int(A_all * 1.35)  # packed canvas incl. inter-level gaps and
     # full-W0 rows for small levels (ops/pallas_kernels.pack_layout)
